@@ -1,0 +1,218 @@
+"""Generic target-model transformer (Llama / Qwen2 / Qwen3 / Mixtral).
+
+One functional module replaces the reference's four forked modeling files
+(/root/reference/eagle/model/modeling_{llama,qwen2,qwen3,mixtral}_kv.py):
+architecture differences are config flags (attn_qkv_bias → Qwen2, qk_norm →
+Qwen3, num_experts>0 → Mixtral MoE), and every backend uniformly exposes the
+EAGLE-3 feature taps (inputs of layers {2, L//2, L-3},
+modeling_llama_kv.py:1137-1139) — unlike the reference, where Qwen2/Mixtral
+lack taps.
+
+TPU-first choices:
+- Layer parameters are stacked on a leading axis and the layer loop is a
+  single `lax.scan` — one trace/compile regardless of depth.
+- Attention masks are explicit `[B, T, S]` boolean data over the whole
+  preallocated KV buffer; the tree mask is injected by the *caller* as data,
+  not by attribute side channels (cf. ea_model.py:253).
+- Softmax in fp32, matmul accumulation fp32 (`preferred_element_type`), so
+  the vanilla and tree decode paths are bit-identical by construction.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.kv_cache import KVCache, update_layer
+from .rope import apply_rope, rope_tables
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """HF-exact RMSNorm: fp32 variance, scale applied in input dtype."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (xf.astype(dtype) * weight.astype(dtype)).astype(dtype)
+
+
+def _dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+def attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+              mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked multi-head attention against the full KV buffer.
+
+    q: [B, T, nq, d]; k_cache/v_cache: [B, n_kv, S, d]; mask: [B, T, S] bool
+    (True = may attend). fp32 scores + softmax (modeling_llama_kv.py:740-742).
+    Returns [B, T, nq*d].
+    """
+    B, T, nq, d = q.shape
+    n_kv = k_cache.shape[1]
+    g = nq // n_kv
+    qh = jnp.swapaxes(q, 1, 2).reshape(B, n_kv, g, T, d)
+    scores = jnp.einsum("bhgtd,bhsd->bhgts", qh, k_cache,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (d ** -0.5)
+    scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhgts,bhsd->bhgtd", probs, v_cache,
+                     preferred_element_type=jnp.float32).astype(q.dtype)
+    return jnp.swapaxes(out.reshape(B, nq, T, d), 1, 2).reshape(B, T, nq * d)
+
+
+def _mlp_dense(h: jnp.ndarray, lp: dict) -> jnp.ndarray:
+    gate = _dense(h, lp["w_gate"])
+    up = _dense(h, lp["w_up"])
+    return _dense(jax.nn.silu(gate) * up, lp["w_down"])
+
+
+def _mlp_moe(h: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
+    """Mixtral sparse MoE block (modeling_mixtral_kv.py:449-517).
+
+    v1 strategy: dense dispatch — every expert computes every token, combined
+    with top-k routing weights. Correct and fully static; an expert-parallel
+    ragged dispatch kernel is the planned optimization.
+    """
+    B, T, H = h.shape
+    E, k = cfg.num_experts, cfg.experts_per_token
+    del B, T
+    router_logits = jnp.einsum("bth,hE->btE", h, lp["router"].astype(h.dtype),
+                               preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    top_p, top_i = jax.lax.top_k(probs, k)
+    top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)  # renormalize top-k
+    combine = jax.nn.one_hot(top_i, E, dtype=jnp.float32) * top_p[..., None]
+    combine = jnp.sum(combine, axis=2)  # [B, T, E]
+    gate = jnp.einsum("bth,ehf->btef", h, lp["we_gate"].astype(h.dtype),
+                      preferred_element_type=jnp.float32).astype(h.dtype)
+    up = jnp.einsum("bth,ehf->btef", h, lp["we_up"].astype(h.dtype),
+                    preferred_element_type=jnp.float32).astype(h.dtype)
+    act = jax.nn.silu(gate) * up
+    out = jnp.einsum("btef,efh->bteh", act, lp["we_down"].astype(h.dtype),
+                     preferred_element_type=jnp.float32)
+    return jnp.sum(out * combine[..., None].astype(out.dtype), axis=2).astype(h.dtype)
+
+
+def _layer(h: jnp.ndarray, lp: dict, cfg: ModelConfig,
+           k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+           cos: jnp.ndarray, sin: jnp.ndarray,
+           mask: jnp.ndarray, start: jnp.ndarray):
+    """One decoder layer; returns (h, k_cache, v_cache)."""
+    B, T, _ = h.shape
+    x = rms_norm(h, lp["ln1"], cfg.rms_eps)
+    q = _dense(x, lp["wq"], lp.get("bq")).reshape(B, T, cfg.num_q_heads, cfg.head_dim)
+    k = _dense(x, lp["wk"], lp.get("bk")).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    v = _dense(x, lp["wv"], lp.get("bv")).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    if cfg.qk_norm:  # Qwen3 per-head q/k RMSNorm (modeling_qwen3_kv.py:249-250)
+        q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    k_cache, v_cache = update_layer(k_cache, v_cache, k, v, start)
+    attn_out = attention(q, k_cache, v_cache, mask)
+    h = h + _dense(attn_out, lp["wo"])
+    x = rms_norm(h, lp["ln2"], cfg.rms_eps)
+    mlp_out = _mlp_moe(x, lp, cfg) if cfg.num_experts > 0 else _mlp_dense(x, lp)
+    return h + mlp_out, k_cache, v_cache
+
+
+class ForwardResult(NamedTuple):
+    hidden: jnp.ndarray          # [B, T, H] final-norm'd hidden states
+    pre_norm_hidden: jnp.ndarray  # [B, T, H] last-layer output before final norm
+    taps: jnp.ndarray            # [B, T, 3*H] EAGLE-3 fused features
+    cache: KVCache
+
+
+def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray, cache: KVCache,
+            positions: jnp.ndarray, mask: jnp.ndarray) -> ForwardResult:
+    """Run the transformer over `tokens` [B, T], appending KV at cache.length.
+
+    positions: [B, T] int32 rope/position ids.
+    mask: [B, T, S] bool attention mask over the full KV buffer (True=attend).
+    """
+    h = jnp.take(params["embed"]["w"], tokens, axis=0).astype(cfg.dtype)
+    B, T, H = h.shape
+    cos, sin = rope_tables(cfg.rope, cfg.head_dim, positions)
+    start = cache.length
+    tap_layers = jnp.asarray(cfg.tap_layers, jnp.int32)
+    taps0 = jnp.zeros((3, B, T, H), cfg.dtype)
+
+    def step(carry, xs):
+        h, taps, idx = carry
+        lp, k_cache, v_cache = xs
+        taps = jnp.where((tap_layers == idx)[:, None, None, None], h[None], taps)
+        h, k_cache, v_cache = _layer(h, lp, cfg, k_cache, v_cache, cos, sin, mask, start)
+        return (h, taps, idx + 1), (k_cache, v_cache)
+
+    (h, taps, _), (k_new, v_new) = jax.lax.scan(
+        step, (h, taps0, jnp.int32(0)), (params["layers"], cache.k, cache.v)
+    )
+    new_cache = KVCache(k=k_new, v=v_new, length=cache.length + T)
+    hidden = rms_norm(h, params["final_norm"], cfg.rms_eps)
+    taps = jnp.concatenate([taps[0], taps[1], taps[2]], axis=-1)
+    return ForwardResult(hidden=hidden, pre_norm_hidden=h, taps=taps, cache=new_cache)
+
+
+def lm_head(params: dict, cfg: ModelConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """Project hidden [.., H] → logits [.., V] (fp32)."""
+    w = params["lm_head"] if not cfg.tie_embeddings else params["embed"]["w"].T
+    return jnp.dot(hidden, w.astype(hidden.dtype),
+                   preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (random params, for tests)
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: ModelConfig, key: jax.Array, dtype=None) -> dict:
+    dtype = dtype or cfg.dtype
+    L, H, F = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    keys = iter(jax.random.split(key, 32))
+
+    def rnd(*shape, scale=0.02):
+        return (jax.random.normal(next(keys), shape, jnp.float32) * scale).astype(dtype)
+
+    layers = {
+        "ln1": jnp.ones((L, H), dtype),
+        "ln2": jnp.ones((L, H), dtype),
+        "wq": rnd(L, H, cfg.q_dim),
+        "wk": rnd(L, H, cfg.kv_dim),
+        "wv": rnd(L, H, cfg.kv_dim),
+        "wo": rnd(L, cfg.q_dim, H),
+    }
+    if cfg.attn_qkv_bias:
+        layers["bq"] = jnp.zeros((L, cfg.q_dim), dtype)
+        layers["bk"] = jnp.zeros((L, cfg.kv_dim), dtype)
+        layers["bv"] = jnp.zeros((L, cfg.kv_dim), dtype)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((L, cfg.head_dim), dtype)
+        layers["k_norm"] = jnp.ones((L, cfg.head_dim), dtype)
+    if cfg.num_experts > 0:
+        E = cfg.num_experts
+        layers["router"] = rnd(L, H, E)
+        layers["we_gate"] = rnd(L, E, H, F)
+        layers["we_up"] = rnd(L, E, H, F)
+        layers["we_down"] = rnd(L, E, F, H)
+    else:
+        layers["w_gate"] = rnd(L, H, F)
+        layers["w_up"] = rnd(L, H, F)
+        layers["w_down"] = rnd(L, F, H)
+
+    params = {
+        "embed": {"w": rnd(cfg.vocab_size, H)},
+        "layers": layers,
+        "final_norm": jnp.ones((H,), dtype),
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = rnd(H, cfg.vocab_size)
+    return params
