@@ -1,0 +1,110 @@
+"""Acceptance rules — fully on-device tree walks, zero host syncs.
+
+The reference evaluates acceptance over *retrieve rows* (leaf paths): greedy
+uses a vectorized cumprod match (/root/reference/eagle/model/utils.py:360-373)
+while temperature>0 falls into a per-token Python loop with host syncs
+(utils.py:375-415) — the perf cliff this module eliminates.
+
+Both rules are reformulated as a walk down the tree, which is equivalent:
+retrieve rows are exactly the root→leaf paths, and the first-matching-row
+selection order equals child node-index order (see ops/tree.children_table).
+
+Losslessness of the multi-round rule with deterministic top-k candidates:
+accepting child j (ordered) with probability p_j / (1 - Σ_{l<j} p_l) is the
+closed form of the reference's zero-and-renormalize loop (utils.py:398-408,
+q(x)=1): the product telescopes so P(accept j) = p_j exactly and
+P(reject all) = 1 - Σ p_l, with the bonus drawn from the residual
+distribution — the empirical output distribution is exactly the target's.
+(The true-q(x) rule of modeling_eagle.py:1427-1445 requires candidates
+*sampled* from q; EAGLE-2/3's candidates are deterministic top-k, for which
+q(x)=1 is the correct lossless rule.)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EngineConfig
+from ..ops.tree import Tree
+from .sampling import process_logits
+
+
+class AcceptResult(NamedTuple):
+    path: jnp.ndarray       # [PATH] node ids; path[0]=0; past accept repeats
+    accept_len: jnp.ndarray  # scalar int32 — accepted nodes beyond the root
+    sample_p: jnp.ndarray   # [V] fp32 — distribution for the bonus token
+                            # (greedy: plain softmax of final-node logits)
+
+
+def accept_greedy(tree: Tree, logits: jnp.ndarray, path_len: int) -> AcceptResult:
+    """Greedy argmax walk (utils.py:360-373 equivalent).
+
+    logits: [N, V] fp32 target logits per tree node.
+    """
+    argmax_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [N]
+
+    def step(carry, _):
+        cur, alen, done = carry
+        t_star = argmax_tok[cur]
+        ch = tree.children[cur]                       # [K]
+        ctok = tree.tokens[jnp.maximum(ch, 0)]
+        match = (ctok == t_star) & (ch >= 0)
+        has = jnp.any(match) & ~done
+        nxt = ch[jnp.argmax(match)]
+        cur = jnp.where(has, nxt, cur)
+        return (cur, alen + has.astype(jnp.int32), done | ~has), cur
+
+    (cur, alen, _), rest = jax.lax.scan(
+        step, (jnp.int32(0), jnp.int32(0), jnp.bool_(False)), None,
+        length=path_len - 1)
+    path = jnp.concatenate([jnp.zeros((1,), jnp.int32), rest])
+    sample_p = jax.nn.softmax(logits[cur].astype(jnp.float32), axis=-1)
+    return AcceptResult(path=path, accept_len=alen, sample_p=sample_p)
+
+
+def accept_sampled(tree: Tree, logits: jnp.ndarray, key: jax.Array,
+                   ecfg: EngineConfig, path_len: int) -> AcceptResult:
+    """Multi-round rejection walk under temperature (lossless, q(x)=1)."""
+    K = tree.children.shape[1]
+    V = logits.shape[-1]
+    proc = process_logits(logits, ecfg.temperature, ecfg.sampling_top_k,
+                          ecfg.top_p)                  # [N, V]
+    probs = jax.nn.softmax(proc, axis=-1)              # [N, V] fp32
+    keys = jax.random.split(key, path_len - 1)
+
+    def step(carry, key_i):
+        cur, alen, done, sample_p = carry
+        p = probs[cur]                                 # [V]
+        ch = tree.children[cur]                        # [K]
+        valid = ch >= 0
+        ctok = tree.tokens[jnp.maximum(ch, 0)]
+        pv = jnp.where(valid, p[ctok], 0.0)            # [K]
+        cum_excl = jnp.cumsum(pv) - pv
+        denom = jnp.maximum(1.0 - cum_excl, 1e-20)
+        u = jax.random.uniform(key_i, (K,), jnp.float32)
+        acc = (u <= pv / denom) & valid
+        any_acc = jnp.any(acc) & ~done
+        first = jnp.argmax(acc)
+        nxt = ch[first]
+        # residual if every child was tried and rejected (utils.py:405-408)
+        removed = jnp.zeros((V,), jnp.float32).at[ctok].add(
+            jnp.where(valid, pv, 0.0))
+        resid = jnp.maximum(p - removed, 0.0)
+        rsum = jnp.sum(resid)
+        resid = jnp.where(rsum > 0, resid / rsum, p)
+        newly_done = ~done & ~any_acc
+        sample_p = jnp.where(newly_done, resid, sample_p)
+        cur = jnp.where(any_acc, nxt, cur)
+        return (cur, alen + any_acc.astype(jnp.int32), done | ~any_acc, sample_p), cur
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+            jnp.zeros((V,), jnp.float32))
+    (cur, alen, done, sample_p), rest = jax.lax.scan(step, init, keys)
+    # full acceptance to max depth → fresh distribution at the final node
+    # (utils.py:409-414, accept_length == candidates.shape[1] branch)
+    sample_p = jnp.where(done, sample_p, probs[cur])
+    path = jnp.concatenate([jnp.zeros((1,), jnp.int32), rest])
+    return AcceptResult(path=path, accept_len=alen, sample_p=sample_p)

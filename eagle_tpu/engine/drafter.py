@@ -1,0 +1,168 @@
+"""Dynamic draft-tree construction (EAGLE-2/3 `topK_genrate`), TPU-native.
+
+Reference behavior: /root/reference/eagle/model/cnets.py:670-827. The
+reference re-runs the draft on the newly accepted suffix (reusing
+`stable_kv`), scores top-k root candidates, then runs `depth` beam-expansion
+steps of k nodes each, reranks the k + depth·k² frontier by cumulative
+logprob to `total_tokens` nodes, and rebuilds the adjacency with Python
+lists.
+
+Here the whole thing is one fixed-shape jit-able function:
+- The accepted suffix arrives as a padded `[PATH]` window with a valid count
+  (`n_new`); KV rows past the count are garbage but never attended (masks
+  only ever open committed columns or explicit tree columns).
+- The beam loop is a `lax.scan` with static `k`/`depth`; parent bookkeeping
+  uses the same flat-score-index node-id arithmetic as cnets.py:728-732.
+- The final rerank is `top_k` + `sort` + `searchsorted`, all on-device
+  (cnets.py:760-784), feeding `ops.tree.build_tree`.
+
+Draft-sequence convention (cnets1.py:623 / cnets.py:670-696): the draft
+attends over (token_{i+1}, feature_i) pairs — draft position i holds the
+token at target position i+1 paired with the target feature at position i.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DraftConfig, EngineConfig
+from ..models import draft as draft_mod
+from ..ops.kv_cache import KVCache, with_length
+from ..ops.masks import prefill_mask
+from ..ops.tree import Tree, build_tree
+
+
+class DraftRound(NamedTuple):
+    tree: Tree
+    dcache: KVCache  # committed draft cache (length excludes beam scratch)
+
+
+def _beam_mask(anc: jnp.ndarray, S: int, dlen: jnp.ndarray) -> jnp.ndarray:
+    """[k, depth*k] beam-ancestor slab → [1, k, S] attention mask.
+
+    Beam rows live at cache columns [dlen, dlen + depth*k); committed pairs
+    at columns < dlen.
+    """
+    k, slab = anc.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (k, S), 1)
+    committed = col < dlen
+    placed = jax.lax.dynamic_update_slice(
+        jnp.zeros((k, S), bool), anc, (0, dlen)
+    )
+    return (committed | placed)[None]
+
+
+def draft_round(dparams: dict, dcfg: DraftConfig, ecfg: EngineConfig,
+                ext_tokens: jnp.ndarray, ext_feats: jnp.ndarray,
+                n_new: jnp.ndarray, dcache: KVCache,
+                target_lm_head: Optional[jnp.ndarray] = None) -> DraftRound:
+    """Extend the draft cache with accepted pairs, then grow a new tree.
+
+    ext_tokens: [T] int32 — padded pair tokens (row j: target token j+1 of the
+        accepted window; row n_new-1 is the pending root/bonus token).
+    ext_feats:  [T, F]   — padded pair features (target features of the
+        accepted window, F = H for v1 / 3H for v3 taps).
+    n_new: scalar int32 — number of valid pairs (= accept_len + 1; prompt
+        length on the first call).
+    dcache: draft KV cache; dcache.length[0] = committed pairs so far.
+    """
+    k, depth, total = ecfg.top_k, ecfg.depth, ecfg.total_tokens
+    T = ext_tokens.shape[0]
+    S = dcache.max_len
+    dlen0 = dcache.length[0]
+    dlen = dlen0 + n_new  # committed pairs after this extension
+
+    # ---- 1. extend on the accepted suffix (stable_kv reuse, cnets.py:690-696)
+    pos = (dlen0 + jnp.arange(T, dtype=jnp.int32))[None]
+    mask = prefill_mask(T, S, dcache.length)
+    dres = draft_mod.forward(dparams, dcfg, ext_tokens[None], ext_feats[None],
+                             dcache, pos, mask)
+    root_hidden = dres.hidden[0, n_new - 1]  # [H] last valid pair's hidden
+    root_token = ext_tokens[n_new - 1]       # pending sampled token (root)
+    cache = dres.cache
+
+    # ---- 2. root candidates (cnets.py:700-713)
+    root_logits = draft_mod.draft_logits(dparams, dcfg, root_hidden,
+                                         target_lm_head)  # [dV] fp32
+    root_lp = jax.nn.log_softmax(root_logits, axis=-1)
+    root_p, root_i = jax.lax.top_k(root_lp, k)            # [k], [k]
+    root_tok = draft_mod.map_draft_to_target(dparams, dcfg, root_i)
+
+    # ---- 3. beam expansion (cnets.py:719-757)
+    anc0 = jnp.zeros((k, depth * k), bool)
+    anc0 = anc0.at[:, :k].set(jnp.eye(k, dtype=bool))
+    carry0 = dict(
+        tokens=root_tok,                                  # [k] target-vocab
+        hidden=jnp.broadcast_to(root_hidden, (k, root_hidden.shape[-1])),
+        scores=root_p,                                    # [k] cumulative logp
+        anc=anc0,                                         # [k, depth*k]
+        prev_flat=jnp.arange(k, dtype=jnp.int32),         # topk_cs_index
+        k_cache=cache.k, v_cache=cache.v,
+    )
+
+    def step(carry, i):
+        write_at = dlen + i * k
+        beam_cache = KVCache(k=carry["k_cache"], v=carry["v_cache"],
+                             length=write_at[None])
+        bpos = jnp.full((1, k), dlen + i, jnp.int32)
+        bmask = _beam_mask(carry["anc"], S, dlen)
+        res = draft_mod.forward(dparams, dcfg, carry["tokens"][None],
+                                carry["hidden"][None], beam_cache, bpos, bmask)
+        hid = res.hidden[0]                               # [k, H]
+        logits = draft_mod.draft_logits(dparams, dcfg, hid, target_lm_head)
+        lp = jax.nn.log_softmax(logits, axis=-1)          # [k, dV]
+        tk_p, tk_i = jax.lax.top_k(lp, k)                 # [k, k]
+        cand_tok = draft_mod.map_draft_to_target(dparams, dcfg, tk_i)
+        cu = tk_p + carry["scores"][:, None]              # [k, k]
+        cs_p, cs_i = jax.lax.top_k(cu.reshape(-1), k)     # global beam rerank
+        out_ids = cs_i // k                               # parent beam row
+
+        # node ids of THIS step's beam rows in flat-score space (+1 for root):
+        # step 0 rows came from the root block (flat positions 0..k-1); step
+        # i≥1 rows from block i-1 at offset k + (i-1)·k². (cnets.py:728-732)
+        beam_ids = jnp.where(
+            i == 0,
+            jnp.arange(k, dtype=jnp.int32) + 1,
+            k + (i - 1) * k * k + carry["prev_flat"] + 1,
+        )
+
+        new_anc = carry["anc"][out_ids]
+        eye_block = jax.nn.one_hot(jnp.arange(k), k, dtype=bool)
+        blk = jnp.minimum(i + 1, depth - 1) * k  # last iteration's anc unused
+        new_anc = jax.lax.dynamic_update_slice(new_anc, eye_block, (0, blk))
+
+        carry = dict(
+            tokens=cand_tok.reshape(-1)[cs_i],
+            hidden=hid[out_ids],
+            scores=cs_p,
+            anc=new_anc,
+            prev_flat=cs_i,
+            k_cache=res.cache.k, v_cache=res.cache.v,
+        )
+        return carry, (beam_ids, cu, cand_tok)
+
+    carry, (beam_ids, cu_all, cand_all) = jax.lax.scan(
+        step, carry0, jnp.arange(depth, dtype=jnp.int32))
+
+    # ---- 4. global rerank to total_tokens nodes (cnets.py:760-784)
+    scores_flat = jnp.concatenate([root_p, cu_all.reshape(-1)])   # [k+d*k²]
+    tokens_flat = jnp.concatenate([root_tok, cand_all.reshape(-1)])
+    parents_flat = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), beam_ids.reshape(-1)])       # [1+d*k]
+
+    _, sel = jax.lax.top_k(scores_flat, total)
+    sel = jnp.sort(sel)                       # ascending → parents precede
+    draft_parents = parents_flat[sel // k]    # flat node id of parent (+1 space)
+    parent_rank = jnp.searchsorted(sel, draft_parents - 1).astype(jnp.int32)
+    tree_parents = jnp.where(draft_parents == 0, 0, parent_rank + 1)
+
+    tokens_full = jnp.concatenate([root_token[None], tokens_flat[sel]])
+    parents_full = jnp.concatenate([jnp.zeros((1,), jnp.int32), tree_parents])
+    tree = build_tree(tokens_full, parents_full, k, max_depth=depth + 2)
+
+    dcache_out = KVCache(k=carry["k_cache"], v=carry["v_cache"],
+                         length=dlen[None])
+    return DraftRound(tree=tree, dcache=dcache_out)

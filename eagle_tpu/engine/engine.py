@@ -1,0 +1,278 @@
+"""EagleEngine — the speculative-decoding orchestrator.
+
+TPU-native analog of the reference's EaModel generation loops
+(/root/reference/eagle/model/ea_model.py:199-305 `eagenerate`,
+eagle/model/utils.py:232-480). One decode round — tree verification,
+acceptance, KV compaction, bonus sampling, draft-cache extension and the
+next tree's beam expansion — is a single jitted fixed-shape XLA program with
+zero host syncs; the host loop only checks the tiny per-round outputs
+(accepted tokens) for EOS/length stops.
+
+Also provides the vanilla autoregressive baseline (`naivegenerate`,
+ea_model.py:306-382 analog) used for speedup measurement and the greedy
+bit-exactness guarantee.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DraftConfig, EngineConfig, ModelConfig
+from ..models import draft as draft_mod
+from ..models import transformer
+from ..ops.kv_cache import KVCache, compact_accepted, init_cache, with_length
+from ..ops.masks import prefill_mask, tree_mask_full
+from ..ops.tree import Tree
+from . import accept as accept_mod
+from .drafter import draft_round
+from .sampling import categorical
+
+
+class EngineState(NamedTuple):
+    tokens: jnp.ndarray   # [1, max_len] committed tokens (+ scratch tail)
+    length: jnp.ndarray   # scalar int32 committed length
+    cache: KVCache        # target KV
+    dcache: KVCache       # draft KV (pairs)
+    tree: Tree            # next tree to verify
+    key: jax.Array
+
+
+class RoundOutput(NamedTuple):
+    new_tokens: jnp.ndarray  # [PATH] committed this round (first alen+1 valid)
+    accept_len: jnp.ndarray  # scalar int32
+
+
+def _target_feats(res: transformer.ForwardResult, version: int) -> jnp.ndarray:
+    """Draft input features: v3 = fused 3-tap (utils.py:248-252), v1 = the
+    post-final-norm hidden (ea_model.py:172-196 output)."""
+    return res.taps if version == 3 else res.hidden
+
+
+class EagleEngine:
+    """Owns params + configs and the compiled per-round programs."""
+
+    def __init__(self, params: dict, cfg: ModelConfig, dparams: dict,
+                 dcfg: DraftConfig, ecfg: EngineConfig):
+        self.params, self.cfg = params, cfg
+        self.dparams, self.dcfg = dparams, dcfg
+        self.ecfg = ecfg
+        self.path_len = ecfg.depth + 2
+        # v1 drafting scores use the target's lm_head (cnets1.py:702,732)
+        if dcfg.version == 1:
+            self._lm_head_w = (params["embed"]["w"].T if cfg.tie_embeddings
+                               else params["lm_head"])
+        else:
+            self._lm_head_w = None
+        self._prefill_jit = {}
+        self._round_jit = jax.jit(self._round, donate_argnums=(2,))
+        self._vanilla_prefill_jit = {}
+        self._vanilla_step_jit = jax.jit(self._vanilla_step, donate_argnums=(1,))
+
+    # ------------------------------------------------------------------
+    # cache allocation
+    # ------------------------------------------------------------------
+
+    def init_caches(self) -> tuple[KVCache, KVCache]:
+        e, c, d = self.ecfg, self.cfg, self.dcfg
+        tgt_len = e.max_len + e.tree_size
+        # draft scratch: beam rows + extension-window padding
+        dft_len = e.max_len + (e.depth + 1) * e.top_k + self.path_len
+        cache = init_cache(c.num_layers, 1, c.num_kv_heads, tgt_len,
+                           c.head_dim, dtype=c.dtype)
+        dcache = init_cache(d.num_layers if d.version == 1 else 1, 1,
+                            d.num_kv_heads, dft_len, d.head_dim, dtype=d.dtype)
+        return cache, dcache
+
+    # ------------------------------------------------------------------
+    # speculative path
+    # ------------------------------------------------------------------
+
+    def _prefill(self, params, dparams, tokens, prompt_len, cache, dcache, key):
+        """Prompt prefill + first draft tree (utils.py:232-255 analog).
+
+        tokens: [1, Tp] padded; prompt_len: scalar int32 ≤ Tp.
+        """
+        Tp = tokens.shape[1]
+        S = cache.max_len
+        pos = jnp.arange(Tp, dtype=jnp.int32)[None]
+        mask = prefill_mask(Tp, S, cache.length)
+        res = transformer.forward(params, self.cfg, tokens, cache, pos, mask)
+        last_logits = transformer.lm_head(
+            params, self.cfg, res.hidden[0, prompt_len - 1])      # [V] fp32
+        key, k1 = jax.random.split(key)
+        root = self._pick_token(last_logits, k1)
+        cache = with_length(res.cache, prompt_len[None])
+
+        feats = _target_feats(res, self.dcfg.version)[0]           # [Tp, F]
+        ext_tokens = jnp.concatenate(
+            [tokens[0, 1:], jnp.zeros((1,), jnp.int32)]
+        ).at[prompt_len - 1].set(root)
+        dr = draft_round(dparams, self.dcfg, self.ecfg, ext_tokens, feats,
+                         prompt_len, dcache, self._lm_head_w)
+        tokens_buf = jnp.zeros((1, S), jnp.int32)
+        tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, tokens, (0, 0))
+        return EngineState(tokens=tokens_buf, length=prompt_len, cache=cache,
+                           dcache=dr.dcache, tree=dr.tree, key=key)
+
+    def _pick_token(self, logits: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        e = self.ecfg
+        if e.temperature == 0.0:
+            return jnp.argmax(logits).astype(jnp.int32)
+        from .sampling import process_logits
+        p = jax.nn.softmax(process_logits(logits, e.temperature,
+                                          e.sampling_top_k, e.top_p))
+        return categorical(key, p)
+
+    def _round(self, params, dparams, state: EngineState):
+        """One speculative decode round (ea_model.py:251-299 analog)."""
+        e, tree = self.ecfg, state.tree
+        S = state.cache.max_len
+        Lc = state.length
+
+        # --- target tree verification (utils.py:306-335)
+        vmask = tree_mask_full(tree.mask[None], S, state.cache.length)
+        pos = (Lc + tree.positions)[None]
+        res = transformer.forward(params, self.cfg, tree.tokens[None],
+                                  state.cache, pos, vmask)
+        logits = transformer.lm_head(params, self.cfg, res.hidden[0])  # [N,V]
+        feats = _target_feats(res, self.dcfg.version)[0]               # [N,F]
+
+        # --- acceptance (utils.py:337-416)
+        key, k_acc, k_bonus = jax.random.split(state.key, 3)
+        if e.temperature == 0.0:
+            acc = accept_mod.accept_greedy(tree, logits, self.path_len)
+            bonus = jnp.argmax(acc.sample_p).astype(jnp.int32)
+        else:
+            acc = accept_mod.accept_sampled(tree, logits, k_acc, e, self.path_len)
+            bonus = categorical(k_bonus, acc.sample_p)
+
+        # --- commit tokens + compact KV (utils.py:419-452)
+        path_tokens = tree.tokens[acc.path]                         # [PATH]
+        tokens_buf = jax.lax.dynamic_update_slice(
+            state.tokens, path_tokens[None], (0, Lc))
+        n_acc = acc.accept_len + 1
+        cache = compact_accepted(with_length(res.cache, Lc[None]),
+                                 acc.path[None], n_acc[None])
+
+        # --- next draft tree (utils.py:459-468)
+        ext_tokens = jnp.concatenate(
+            [path_tokens[1:], jnp.zeros((1,), jnp.int32)]
+        ).at[acc.accept_len].set(bonus)
+        ext_feats = feats[acc.path]                                 # [PATH, F]
+        dr = draft_round(dparams, self.dcfg, self.ecfg, ext_tokens, ext_feats,
+                         n_acc, state.dcache, self._lm_head_w)
+
+        new_state = EngineState(tokens=tokens_buf, length=Lc + n_acc,
+                                cache=cache, dcache=dr.dcache, tree=dr.tree,
+                                key=key)
+        return new_state, RoundOutput(new_tokens=path_tokens,
+                                      accept_len=acc.accept_len)
+
+    def generate(self, prompt_ids, max_new_tokens: int = 512,
+                 eos_token_id: Optional[int] = None, seed: int = 0,
+                 log: bool = False):
+        """Speculative generation (eagenerate analog). Returns np token ids
+        (prompt + completion); with log=True also (new_tokens, rounds)."""
+        prompt = np.asarray(prompt_ids, np.int32).reshape(1, -1)
+        Lp = prompt.shape[1]
+        Tp = _bucket(Lp)
+        padded = np.zeros((1, Tp), np.int32)
+        padded[0, :Lp] = prompt
+        cache, dcache = self.init_caches()
+        key = jax.random.PRNGKey(seed)
+
+        prefill = self._prefill_jit.get(Tp)
+        if prefill is None:
+            prefill = jax.jit(self._prefill, donate_argnums=(4, 5))
+            self._prefill_jit[Tp] = prefill
+        state = prefill(self.params, self.dparams, jnp.asarray(padded),
+                        jnp.int32(Lp), cache, dcache, key)
+
+        out = list(prompt[0])
+        rounds = 0
+        new_tokens = 0
+        while new_tokens < max_new_tokens:
+            state, r = self._round_jit(self.params, self.dparams, state)
+            alen = int(r.accept_len)
+            toks = np.asarray(r.new_tokens[: alen + 1])
+            rounds += 1
+            stop = False
+            for t in toks:
+                out.append(int(t))
+                new_tokens += 1
+                if (eos_token_id is not None and t == eos_token_id) or \
+                        new_tokens >= max_new_tokens:
+                    stop = True
+                    break
+            if stop or len(out) + self.path_len + 1 >= self.ecfg.max_len:
+                break
+        if log:
+            return np.asarray(out), new_tokens, rounds
+        return np.asarray(out)
+
+    # ------------------------------------------------------------------
+    # vanilla baseline (naivegenerate, ea_model.py:306-382)
+    # ------------------------------------------------------------------
+
+    def _vanilla_prefill(self, params, tokens, prompt_len, cache, key):
+        Tp = tokens.shape[1]
+        S = cache.max_len
+        pos = jnp.arange(Tp, dtype=jnp.int32)[None]
+        mask = prefill_mask(Tp, S, cache.length)
+        res = transformer.forward(params, self.cfg, tokens, cache, pos, mask)
+        logits = transformer.lm_head(params, self.cfg,
+                                     res.hidden[0, prompt_len - 1])
+        key, k1 = jax.random.split(key)
+        nxt = self._pick_token(logits, k1)
+        return with_length(res.cache, prompt_len[None]), nxt, key
+
+    def _vanilla_step(self, params, cache, token, key):
+        S = cache.max_len
+        pos = cache.length[0][None, None]
+        mask = prefill_mask(1, S, cache.length)
+        res = transformer.forward(params, self.cfg, token[None, None],
+                                  cache, pos, mask)
+        logits = transformer.lm_head(params, self.cfg, res.hidden[0, 0])
+        key, k1 = jax.random.split(key)
+        nxt = self._pick_token(logits, k1)
+        return res.cache, nxt, key
+
+    def generate_vanilla(self, prompt_ids, max_new_tokens: int = 512,
+                         eos_token_id: Optional[int] = None, seed: int = 0):
+        prompt = np.asarray(prompt_ids, np.int32).reshape(1, -1)
+        Lp = prompt.shape[1]
+        Tp = _bucket(Lp)
+        padded = np.zeros((1, Tp), np.int32)
+        padded[0, :Lp] = prompt
+        e, c = self.ecfg, self.cfg
+        cache = init_cache(c.num_layers, 1, c.num_kv_heads,
+                           e.max_len + e.tree_size, c.head_dim, dtype=c.dtype)
+        key = jax.random.PRNGKey(seed)
+
+        prefill = self._vanilla_prefill_jit.get(Tp)
+        if prefill is None:
+            prefill = jax.jit(self._vanilla_prefill, donate_argnums=(3,))
+            self._vanilla_prefill_jit[Tp] = prefill
+        cache, token, key = prefill(self.params, jnp.asarray(padded),
+                                    jnp.int32(Lp), cache, key)
+        out = list(prompt[0])
+        for _ in range(max_new_tokens):
+            t = int(token)
+            out.append(t)
+            if eos_token_id is not None and t == eos_token_id:
+                break
+            if len(out) + 1 >= e.max_len:
+                break
+            cache, token, key = self._vanilla_step_jit(self.params, cache,
+                                                       token, key)
+        return np.asarray(out)
+
+
+def _bucket(n: int, quantum: int = 128) -> int:
+    """Pad prompt lengths to fixed buckets → one compile per bucket."""
+    return max(quantum, -(-n // quantum) * quantum)

@@ -1,0 +1,88 @@
+"""End-to-end greedy speculative decoding must reproduce vanilla decoding
+exactly — the core losslessness guarantee (BASELINE.md north star; the
+reference only guarantees this implicitly via evaluate_posterior's argmax
+match, utils.py:360-373).
+
+The draft head is random (useless), which exercises low-acceptance paths; a
+distilled-from-target draft exercises high-acceptance paths.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eagle_tpu.config import DraftConfig, EngineConfig, ModelConfig
+from eagle_tpu.engine.engine import EagleEngine
+from eagle_tpu.models import draft as draft_mod
+from eagle_tpu.models import transformer
+
+
+def tiny_cfg(vocab=128, H=32, L=4):
+    return ModelConfig(
+        vocab_size=vocab, hidden_size=H, intermediate_size=64, num_layers=L,
+        num_q_heads=4, num_kv_heads=2, head_dim=8, dtype=jnp.float32,
+    )
+
+
+def tiny_dcfg(version, vocab=128, H=32, draft_vocab=0):
+    return DraftConfig(
+        version=version, hidden_size=H, intermediate_size=64, num_q_heads=4,
+        num_kv_heads=2, head_dim=8, vocab_size=vocab,
+        draft_vocab_size=draft_vocab, num_layers=1, dtype=jnp.float32,
+        target_hidden_size=H if version == 3 else 0,
+    )
+
+
+def make_engine(version, draft_vocab=0, seed=0, **ecfg_kw):
+    cfg = tiny_cfg()
+    dcfg = tiny_dcfg(version, draft_vocab=draft_vocab)
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    params = transformer.init_params(cfg, k1)
+    dparams = draft_mod.init_params(dcfg, k2)
+    ecfg = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256,
+                        **ecfg_kw)
+    return EagleEngine(params, cfg, dparams, dcfg, ecfg)
+
+
+PROMPT = np.array([5, 17, 92, 3, 44, 8, 21], np.int32)
+
+
+@pytest.mark.parametrize("version", [1, 3])
+def test_greedy_matches_vanilla(version):
+    eng = make_engine(version)
+    ref = eng.generate_vanilla(PROMPT, max_new_tokens=40)
+    out, new_tok, rounds = eng.generate(PROMPT, max_new_tokens=40, log=True)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+    assert rounds >= 1
+    assert new_tok >= 40 or len(out) >= len(ref)
+
+
+def test_greedy_matches_vanilla_reduced_draft_vocab():
+    eng = make_engine(3, draft_vocab=64)
+    ref = eng.generate_vanilla(PROMPT, max_new_tokens=30)
+    out = eng.generate(PROMPT, max_new_tokens=30)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+
+
+def test_distilled_draft_accepts_more():
+    """A draft head can't beat τ=1 with random weights; sanity-check that the
+    engine reports τ (=new_tokens/rounds) ≥ 1 and that acceptance with a
+    *perfect* proposal source is exercised via eos-free long generation."""
+    eng = make_engine(1, seed=3)
+    out, new_tok, rounds = eng.generate(PROMPT, max_new_tokens=60, log=True)
+    tau = new_tok / rounds
+    assert tau >= 1.0
+    assert new_tok == 60
+
+
+def test_eos_stop():
+    eng = make_engine(1)
+    ref = eng.generate_vanilla(PROMPT, max_new_tokens=40)
+    # pick the 10th generated token as a fake EOS: both paths must stop there
+    eos = int(ref[len(PROMPT) + 9])
+    a = eng.generate_vanilla(PROMPT, max_new_tokens=40, eos_token_id=eos)
+    b = eng.generate(PROMPT, max_new_tokens=40, eos_token_id=eos)
+    np.testing.assert_array_equal(a, b)
