@@ -1,0 +1,109 @@
+"""Mesh + sharding layout — the TPU-native replacement for the reference's
+parallelism surface (SURVEY.md §2.4).
+
+The reference scales with accelerate DDP / DeepSpeed ZeRO-2 over NCCL
+(/root/reference/eagle/train/main.py:54-55, traineagle3/ds_config.json:32-41)
+and has no tensor parallelism at all (only vestigial `pretraining_tp` code,
+modeling_llama_kv.py:654-680). Here parallelism is declarative: one
+`Mesh(("data", "model"))`, `NamedSharding` on every parameter / cache /
+activation, and XLA SPMD inserts the psum/all-gather/reduce-scatter
+collectives over ICI.
+
+Layout (Megatron-style TP over the "model" axis):
+- attention: q/k/v projections column-sharded on the head axis, o_proj
+  row-sharded → one psum per attention block;
+- MLP: gate/up column-sharded on the FFN axis, down row-sharded → one psum;
+- MoE: experts sharded over "model" (expert parallelism);
+- embed/lm_head: vocab-sharded (logits all-gathered by XLA when argmaxed);
+- KV cache: kv-heads axis on "model", batch on "data";
+- draft head: replicated (it is ~1 layer; replication avoids collectives in
+  the latency-critical beam loop).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import DraftConfig, ModelConfig
+
+
+def make_mesh(n_data: int = 1, n_model: Optional[int] = None,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_model is None:
+        n_model = len(devices) // n_data
+    assert n_data * n_model == len(devices), (
+        f"{n_data}x{n_model} != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def target_param_specs(cfg: ModelConfig) -> dict:
+    """PartitionSpecs matching models.transformer.init_params structure.
+
+    Layer weights carry a leading stacked-L axis (never sharded).
+    """
+    layers = {
+        "ln1": P(None, None),
+        "ln2": P(None, None),
+        "wq": P(None, None, "model"),
+        "wk": P(None, None, "model"),
+        "wv": P(None, None, "model"),
+        "wo": P(None, "model", None),
+    }
+    if cfg.attn_qkv_bias:
+        layers.update(bq=P(None, "model"), bk=P(None, "model"),
+                      bv=P(None, "model"))
+    if cfg.qk_norm:
+        layers.update(q_norm=P(None, None), k_norm=P(None, None))
+    if cfg.num_experts > 0:
+        layers.update(
+            router=P(None, None, None),
+            we_gate=P(None, "model", None, None),
+            we_up=P(None, "model", None, None),
+            we_down=P(None, "model", None, None),
+        )
+    else:
+        layers.update(
+            w_gate=P(None, None, "model"),
+            w_up=P(None, None, "model"),
+            w_down=P(None, "model", None),
+        )
+    specs = {
+        "embed": {"w": P("model", None)},
+        "layers": layers,
+        "final_norm": P(None),
+    }
+    if not cfg.tie_embeddings:
+        specs["lm_head"] = P(None, "model")
+    return specs
+
+
+def draft_param_specs(dparams: dict) -> dict:
+    """Draft head: fully replicated."""
+    return jax.tree.map(lambda x: P(), dparams)
+
+
+def cache_spec() -> P:
+    """KVCache k/v: [L, B, n_kv, max_len, head_dim]."""
+    return P(None, "data", "model", None, None)
+
+
+def kv_cache_specs():
+    from ..ops.kv_cache import KVCache
+    return KVCache(k=cache_spec(), v=cache_spec(), length=P("data"))
+
+
+def shard_params(params: dict, mesh: Mesh, specs: dict) -> dict:
+    """device_put every leaf with its NamedSharding."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
