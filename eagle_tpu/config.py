@@ -244,7 +244,12 @@ class EngineConfig:
     temperature: float = 0.0
     top_p: float = 0.0
     sampling_top_k: int = 0
+    # EAGLE-1 static topology: a choices-style tuple of child-rank paths
+    # (eagle/model/choices.py mc_sim_7b_63). None → dynamic EAGLE-2/3 trees.
+    tree_paths: Optional[Tuple[Tuple[int, ...], ...]] = None
 
     @property
     def tree_size(self) -> int:
+        if self.tree_paths is not None:
+            return len(self.tree_paths) + 1  # paths + root
         return self.total_tokens + 1  # + root

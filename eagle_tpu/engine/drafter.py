@@ -40,6 +40,129 @@ class DraftRound(NamedTuple):
     dcache: KVCache  # committed draft cache (length excludes beam scratch)
 
 
+class StaticTreeSpec:
+    """Host-side static tree topology (EAGLE-1 style, utils_c.py:100-205).
+
+    Built from a choices-style path list (e.g. the reference's 25-path
+    `mc_sim_7b_63`, eagle/model/choices.py:1-3). All members are Python
+    constants baked into the compiled program.
+    """
+
+    def __init__(self, paths):
+        import numpy as np
+        from ..ops.tree import paths_to_parents, max_children
+
+        self.paths = tuple(tuple(p) for p in paths)
+        parents = paths_to_parents(self.paths)
+        self.parents = parents                       # np [N]
+        self.num_nodes = len(parents)
+        self.k = max_children(parents)
+        depth = np.zeros(len(parents), np.int64)
+        for i in range(1, len(parents)):
+            depth[i] = depth[parents[i]] + 1
+        self.depths = depth
+        self.max_depth = int(depth.max())
+        # rank of each node among its parent's children (= which top-k token)
+        rank = np.zeros(len(parents), np.int64)
+        seen = {}
+        for i in range(1, len(parents)):
+            p = int(parents[i])
+            rank[i] = seen.get(p, 0)
+            seen[p] = rank[i] + 1
+        self.ranks = rank
+        # per-level node lists (level d ≥ 1)
+        self.levels = [
+            np.nonzero(depth == d)[0] for d in range(1, self.max_depth + 1)
+        ]
+        # KV row offset of each tree node within the draft scratch region:
+        # nodes are written level-by-level in node order
+        order = np.concatenate(self.levels) if self.levels else np.zeros(0, np.int64)
+        self.kv_slot = np.zeros(len(parents), np.int64)
+        self.kv_slot[order] = np.arange(len(order))
+        # static ancestor mask among non-root nodes (row=node, col=node)
+        anc = np.zeros((self.num_nodes, self.num_nodes), bool)
+        for i in range(self.num_nodes):
+            j = i
+            anc[i, j] = True
+            while j != 0:
+                j = int(parents[j])
+                anc[i, j] = True
+        self.anc = anc
+
+
+def draft_round_static(dparams: dict, dcfg: DraftConfig, spec: StaticTreeSpec,
+                       ext_tokens: jnp.ndarray, ext_feats: jnp.ndarray,
+                       n_new: jnp.ndarray, dcache: KVCache,
+                       target_lm_head: Optional[jnp.ndarray] = None) -> DraftRound:
+    """EAGLE-1 static-tree drafting: expand the fixed topology level by
+    level, each node's token = the `rank`-th top-k token of its parent's
+    draft distribution (utils_c.py tree_indices semantics)."""
+    import numpy as np
+
+    k = spec.k
+    T = ext_tokens.shape[0]
+    S = dcache.max_len
+    dlen0 = dcache.length[0]
+    dlen = dlen0 + n_new
+
+    # ---- extend on accepted suffix
+    pos = (dlen0 + jnp.arange(T, dtype=jnp.int32))[None]
+    mask = prefill_mask(T, S, dcache.length)
+    dres = draft_mod.forward(dparams, dcfg, ext_tokens[None], ext_feats[None],
+                             dcache, pos, mask)
+    root_hidden = dres.hidden[0, n_new - 1]
+    root_token = ext_tokens[n_new - 1]
+    cache = dres.cache
+
+    root_logits = draft_mod.draft_logits(dparams, dcfg, root_hidden,
+                                         target_lm_head)
+    _, root_topk = jax.lax.top_k(root_logits, k)
+    root_topk = draft_mod.map_draft_to_target(dparams, dcfg, root_topk)
+
+    N = spec.num_nodes
+    node_tokens = jnp.zeros((N,), jnp.int32)
+    node_hidden = jnp.zeros((N, root_hidden.shape[-1]), dcfg.dtype)
+    node_hidden = node_hidden.at[0].set(root_hidden)
+    topk_per_node = jnp.zeros((N, k), jnp.int32)
+    topk_per_node = topk_per_node.at[0].set(root_topk)
+
+    written = 0  # tree-scratch rows written so far (static counter)
+    for d, level in enumerate(spec.levels):
+        n_d = len(level)
+        par = spec.parents[level]             # np
+        rnk = spec.ranks[level]
+        toks = topk_per_node[jnp.asarray(par), jnp.asarray(rnk)]   # [n_d]
+        node_tokens = node_tokens.at[jnp.asarray(level)].set(toks)
+        hid = node_hidden[jnp.asarray(par)]                        # [n_d, H]
+        lvl_cache = KVCache(k=cache.k, v=cache.v,
+                            length=(dlen + written)[None])
+        lvl_pos = jnp.full((1, n_d), dlen + d, jnp.int32)
+        # mask: committed cols + static ancestors already written
+        col = jax.lax.broadcasted_iota(jnp.int32, (n_d, S), 1)
+        m = col < dlen
+        anc_rows = spec.anc[np.ix_(level, np.concatenate(spec.levels))]
+        anc_slab = jnp.asarray(anc_rows)      # [n_d, total_tree_rows]
+        m = m | jax.lax.dynamic_update_slice(
+            jnp.zeros((n_d, S), bool), anc_slab, (0, dlen))
+        res = draft_mod.forward(dparams, dcfg, toks[None], hid[None],
+                                lvl_cache, lvl_pos, m[None])
+        h = res.hidden[0]
+        cache = res.cache
+        node_hidden = node_hidden.at[jnp.asarray(level)].set(h)
+        if d + 1 < spec.max_depth:
+            logits = draft_mod.draft_logits(dparams, dcfg, h, target_lm_head)
+            _, tk = jax.lax.top_k(logits, k)
+            tk = draft_mod.map_draft_to_target(dparams, dcfg, tk)
+            topk_per_node = topk_per_node.at[jnp.asarray(level)].set(tk)
+        written += n_d
+
+    node_tokens = node_tokens.at[0].set(root_token)
+    tree = build_tree(node_tokens, jnp.asarray(spec.parents, jnp.int32), k,
+                      max_depth=spec.max_depth + 1)
+    dcache_out = KVCache(k=cache.k, v=cache.v, length=dlen[None])
+    return DraftRound(tree=tree, dcache=dcache_out)
+
+
 def _beam_mask(anc: jnp.ndarray, S: int, dlen: jnp.ndarray) -> jnp.ndarray:
     """[k, depth*k] beam-ancestor slab → [1, k, S] attention mask.
 

@@ -61,7 +61,13 @@ class EagleEngine:
         self.params, self.cfg = params, cfg
         self.dparams, self.dcfg = dparams, dcfg
         self.ecfg = ecfg
-        self.path_len = ecfg.depth + 2
+        if ecfg.tree_paths is not None:
+            from .drafter import StaticTreeSpec
+            self.static_spec = StaticTreeSpec(ecfg.tree_paths)
+            self.path_len = self.static_spec.max_depth + 2
+        else:
+            self.static_spec = None
+            self.path_len = ecfg.depth + 2
         # v1 drafting scores use the target's lm_head (cnets1.py:702,732)
         if dcfg.version == 1:
             self._lm_head_w = (params["embed"]["w"].T if cfg.tie_embeddings
@@ -72,16 +78,29 @@ class EagleEngine:
         self._round_jit = jax.jit(self._round, donate_argnums=(2,))
         self._vanilla_prefill_jit = {}
         self._vanilla_step_jit = jax.jit(self._vanilla_step, donate_argnums=(1,))
+        self._vanilla_scan_jit = {}
 
     # ------------------------------------------------------------------
     # cache allocation
     # ------------------------------------------------------------------
 
+    def _draft_round(self, dparams, ext_tokens, ext_feats, n_new, dcache):
+        if self.static_spec is not None:
+            from .drafter import draft_round_static
+            return draft_round_static(dparams, self.dcfg, self.static_spec,
+                                      ext_tokens, ext_feats, n_new, dcache,
+                                      self._lm_head_w)
+        return draft_round(dparams, self.dcfg, self.ecfg, ext_tokens,
+                           ext_feats, n_new, dcache, self._lm_head_w)
+
     def init_caches(self) -> tuple[KVCache, KVCache]:
         e, c, d = self.ecfg, self.cfg, self.dcfg
         tgt_len = e.max_len + e.tree_size
-        # draft scratch: beam rows + extension-window padding
-        dft_len = e.max_len + (e.depth + 1) * e.top_k + self.path_len
+        # draft scratch: beam rows (dynamic) or tree rows (static) +
+        # extension-window padding
+        scratch = (e.tree_size if self.static_spec is not None
+                   else (e.depth + 1) * e.top_k)
+        dft_len = e.max_len + scratch + self.path_len
         cache = init_cache(c.num_layers, 1, c.num_kv_heads, tgt_len,
                            c.head_dim, dtype=c.dtype)
         dcache = init_cache(d.num_layers if d.version == 1 else 1, 1,
@@ -112,8 +131,7 @@ class EagleEngine:
         ext_tokens = jnp.concatenate(
             [tokens[0, 1:], jnp.zeros((1,), jnp.int32)]
         ).at[prompt_len - 1].set(root)
-        dr = draft_round(dparams, self.dcfg, self.ecfg, ext_tokens, feats,
-                         prompt_len, dcache, self._lm_head_w)
+        dr = self._draft_round(dparams, ext_tokens, feats, prompt_len, dcache)
         tokens_buf = jnp.zeros((1, S), jnp.int32)
         tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, tokens, (0, 0))
         return EngineState(tokens=tokens_buf, length=prompt_len, cache=cache,
@@ -164,8 +182,8 @@ class EagleEngine:
             [path_tokens[1:], jnp.zeros((1,), jnp.int32)]
         ).at[acc.accept_len].set(bonus)
         ext_feats = feats[acc.path]                                 # [PATH, F]
-        dr = draft_round(dparams, self.dcfg, self.ecfg, ext_tokens, ext_feats,
-                         n_acc, state.dcache, self._lm_head_w)
+        dr = self._draft_round(dparams, ext_tokens, ext_feats, n_acc,
+                               state.dcache)
 
         new_state = EngineState(tokens=tokens_buf, length=Lc + n_acc,
                                 cache=cache, dcache=dr.dcache, tree=dr.tree,
@@ -242,8 +260,20 @@ class EagleEngine:
         nxt = self._pick_token(logits, k1)
         return res.cache, nxt, key
 
+    def _vanilla_scan(self, params, cache, token, key, n_steps: int):
+        """Fused device-side decode: one dispatch for n_steps tokens."""
+        def body(carry, _):
+            cache, token, key = carry
+            new_cache, nxt, key = self._vanilla_step(params, cache, token, key)
+            return (new_cache, nxt, key), token
+
+        (cache, _, _), toks = jax.lax.scan(
+            body, (cache, token, key), None, length=n_steps)
+        return toks
+
     def generate_vanilla(self, prompt_ids, max_new_tokens: int = 512,
-                         eos_token_id: Optional[int] = None, seed: int = 0):
+                         eos_token_id: Optional[int] = None, seed: int = 0,
+                         fused: bool = False):
         prompt = np.asarray(prompt_ids, np.int32).reshape(1, -1)
         Lp = prompt.shape[1]
         Tp = _bucket(Lp)
@@ -261,6 +291,19 @@ class EagleEngine:
         cache, token, key = prefill(self.params, jnp.asarray(padded),
                                     jnp.int32(Lp), cache, key)
         out = list(prompt[0])
+        if fused:
+            scan = self._vanilla_scan_jit.get(max_new_tokens)
+            if scan is None:
+                scan = jax.jit(functools.partial(
+                    self._vanilla_scan, n_steps=max_new_tokens),
+                    donate_argnums=(1,))
+                self._vanilla_scan_jit[max_new_tokens] = scan
+            toks = np.asarray(scan(self.params, cache, token, key))
+            for t in toks:
+                out.append(int(t))
+                if eos_token_id is not None and t == eos_token_id:
+                    break
+            return np.asarray(out)
         for _ in range(max_new_tokens):
             t = int(token)
             out.append(t)

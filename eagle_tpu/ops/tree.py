@@ -162,3 +162,19 @@ def max_children(parents: np.ndarray) -> int:
     if len(parents) <= 1:
         return 1
     return int(np.max(np.bincount(parents[1:], minlength=len(parents))))
+
+
+# The published EAGLE-1 static topology for 7B models (25 paths / 26 nodes;
+# data constant from eagle/model/choices.py:1-3 `mc_sim_7b_63`, figure 3 of
+# arXiv:2401.15077). Each path is a chain of child ranks from the root.
+MC_SIM_7B_63 = (
+    (0,), (1,), (2,), (3,),
+    (0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (2, 0), (2, 1), (3, 0),
+    (0, 0, 0), (0, 0, 1), (0, 0, 2), (0, 1, 0), (0, 1, 1), (0, 2, 0),
+    (0, 2, 1), (1, 0, 0),
+    (0, 0, 0, 0), (0, 0, 0, 1), (0, 0, 0, 2),
+    (0, 0, 0, 0, 0), (0, 0, 0, 0, 1),
+)
+
+# Depth-5 chain (modeling_eagle.py:27 `chain_structure`).
+CHAIN_5 = tuple(tuple([0] * (i + 1)) for i in range(5))

@@ -88,14 +88,17 @@ def draft_param_specs(dparams: dict) -> dict:
     return jax.tree.map(lambda x: P(), dparams)
 
 
-def cache_spec() -> P:
-    """KVCache k/v: [L, B, n_kv, max_len, head_dim]."""
-    return P(None, "data", "model", None, None)
+def cache_spec(shard_batch: bool = True) -> P:
+    """KVCache k/v: [L, B, n_kv, max_len, head_dim]. Batch is only sharded
+    over "data" when it divides (B=1 serving keeps it replicated)."""
+    b = "data" if shard_batch else None
+    return P(None, b, "model", None, None)
 
 
-def kv_cache_specs():
+def kv_cache_specs(shard_batch: bool = True):
     from ..ops.kv_cache import KVCache
-    return KVCache(k=cache_spec(), v=cache_spec(), length=P("data"))
+    return KVCache(k=cache_spec(shard_batch), v=cache_spec(shard_batch),
+                   length=P("data" if shard_batch else None))
 
 
 def shard_params(params: dict, mesh: Mesh, specs: dict) -> dict:

@@ -1,0 +1,122 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+Validates that (a) the target forward under full TP produces the same logits
+as the unsharded path, (b) the whole speculative engine runs with sharded
+params/caches, and (c) the TTT training step compiles and runs under dp×tp.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from eagle_tpu.config import EngineConfig, ModelConfig
+from eagle_tpu.engine.engine import EagleEngine
+from eagle_tpu.models import draft as draft_mod
+from eagle_tpu.models import transformer
+from eagle_tpu.ops.kv_cache import init_cache
+from eagle_tpu.ops.masks import prefill_mask
+from eagle_tpu.parallel import sharding as shd
+from eagle_tpu.train import ttt
+
+from test_engine_greedy import PROMPT, tiny_cfg, tiny_dcfg
+
+
+def tp_cfg():
+    # 4 kv heads / 8 q heads so the model axis (4) divides both
+    return ModelConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64, num_layers=4,
+        num_q_heads=8, num_kv_heads=4, head_dim=8, dtype=jnp.float32,
+    )
+
+
+def test_tp_forward_matches_unsharded():
+    cfg = tp_cfg()
+    params = transformer.init_params(cfg, jax.random.PRNGKey(0))
+    T, S = 12, 64
+    tokens = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, size=(1, T)), jnp.int32)
+    pos = jnp.arange(T, dtype=jnp.int32)[None]
+
+    def run(params, cache):
+        mask = prefill_mask(T, S, cache.length)
+        res = transformer.forward(params, cfg, tokens, cache, pos, mask)
+        return transformer.lm_head(params, cfg, res.hidden)
+
+    cache = init_cache(cfg.num_layers, 1, cfg.num_kv_heads, S, cfg.head_dim,
+                       dtype=jnp.float32)
+    ref = run(params, cache)
+
+    mesh = shd.make_mesh(n_data=2, n_model=4)
+    specs = shd.target_param_specs(cfg)
+    params_s = shd.shard_params(params, mesh, specs)
+    cache_s = jax.device_put(
+        init_cache(cfg.num_layers, 1, cfg.num_kv_heads, S, cfg.head_dim,
+                   dtype=jnp.float32),
+        jax.tree.map(lambda s: NamedSharding(mesh, s),
+                     shd.kv_cache_specs(shard_batch=False)))
+    with jax.set_mesh(mesh):
+        out = jax.jit(run)(params_s, cache_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_engine_runs_sharded():
+    cfg = tp_cfg()
+    dcfg = tiny_dcfg(3)
+    params = transformer.init_params(cfg, jax.random.PRNGKey(1))
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(2))
+    ecfg = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256)
+
+    eng_ref = EagleEngine(params, cfg, dparams, dcfg, ecfg)
+    ref = eng_ref.generate_vanilla(PROMPT, max_new_tokens=24)
+
+    mesh = shd.make_mesh(n_data=1, n_model=8)
+    params_s = shd.shard_params(params, mesh, shd.target_param_specs(cfg))
+    dparams_s = shd.replicate(dparams, mesh)
+    eng = EagleEngine(params_s, cfg, dparams_s, dcfg, ecfg)
+    with jax.set_mesh(mesh):
+        out = eng.generate(PROMPT, max_new_tokens=24)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+
+
+def test_train_step_dp_tp():
+    cfg = tp_cfg()
+    dcfg = tiny_dcfg(3)
+    params = transformer.init_params(cfg, jax.random.PRNGKey(3))
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(4))
+    tcfg = ttt.TrainConfig(length=3)
+    opt = ttt.make_optimizer(tcfg)
+    trainable, _ = ttt.partition_trainable(dparams)
+    opt_state = opt.init(trainable)
+
+    mesh = shd.make_mesh(n_data=2, n_model=4)
+    params_s = shd.shard_params(params, mesh, shd.target_param_specs(cfg))
+    dparams_s = shd.replicate(dparams, mesh)
+    opt_state_s = shd.replicate(opt_state, mesh)
+    B, T = 4, 16
+    rng = np.random.default_rng(5)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)),
+                                 jnp.int32),
+        "loss_mask": jnp.ones((B, T), jnp.float32),
+        "pad_mask": jnp.ones((B, T), bool),
+    }
+    batch = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))),
+        batch)
+    with jax.set_mesh(mesh):
+        step = jax.jit(lambda dp, os, b: ttt.train_step(
+            dp, os, params_s, cfg, dcfg, tcfg, opt, b))
+        dparams2, opt_state2 = dparams_s, opt_state_s
+        for _ in range(3):  # warmup starts at lr=0; step a few times
+            dparams2, opt_state2, m = step(dparams2, opt_state2, batch)
+    assert np.isfinite(float(m.loss))
+    # params actually updated
+    delta = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        dparams2["fc"], dparams_s["fc"])
+    assert max(jax.tree.leaves(delta)) > 0
