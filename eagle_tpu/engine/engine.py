@@ -193,9 +193,10 @@ class EagleEngine:
 
     def generate(self, prompt_ids, max_new_tokens: int = 512,
                  eos_token_id: Optional[int] = None, seed: int = 0,
-                 log: bool = False):
+                 log: bool = False, details: bool = False):
         """Speculative generation (eagenerate analog). Returns np token ids
-        (prompt + completion); with log=True also (new_tokens, rounds)."""
+        (prompt + completion); with log=True also (new_tokens, rounds); with
+        details=True returns (ids, stats-dict incl. per-round accept_lens)."""
         prompt = np.asarray(prompt_ids, np.int32).reshape(1, -1)
         Lp = prompt.shape[1]
         Tp = _bucket(Lp)
@@ -214,11 +215,13 @@ class EagleEngine:
         out = list(prompt[0])
         rounds = 0
         new_tokens = 0
+        accept_lens = []
         while new_tokens < max_new_tokens:
             state, r = self._round_jit(self.params, self.dparams, state)
             alen = int(r.accept_len)
             toks = np.asarray(r.new_tokens[: alen + 1])
             rounds += 1
+            accept_lens.append(alen)
             stop = False
             for t in toks:
                 out.append(int(t))
@@ -229,6 +232,11 @@ class EagleEngine:
                     break
             if stop or len(out) + self.path_len + 1 >= self.ecfg.max_len:
                 break
+        if details:
+            return np.asarray(out), {
+                "new_tokens": new_tokens, "rounds": rounds,
+                "accept_lens": accept_lens,
+            }
         if log:
             return np.asarray(out), new_tokens, rounds
         return np.asarray(out)
