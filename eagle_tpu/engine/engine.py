@@ -40,11 +40,13 @@ class EngineState(NamedTuple):
     dcache: KVCache       # draft KV (pairs)
     tree: Tree            # next tree to verify
     key: jax.Array
+    done: jnp.ndarray     # scalar bool — sequence finished (EOS emitted)
 
 
 class RoundOutput(NamedTuple):
-    new_tokens: jnp.ndarray  # [PATH] committed this round (first alen+1 valid)
-    accept_len: jnp.ndarray  # scalar int32
+    new_tokens: jnp.ndarray  # [PATH] committed this round (first n_acc valid)
+    accept_len: jnp.ndarray  # scalar int32 (-1 when the sequence is done)
+    done: jnp.ndarray        # scalar bool
 
 
 def _target_feats(res: transformer.ForwardResult, version: int) -> jnp.ndarray:
@@ -57,8 +59,10 @@ class EagleEngine:
     """Owns params + configs and the compiled per-round programs."""
 
     def __init__(self, params: dict, cfg: ModelConfig, dparams: dict,
-                 dcfg: DraftConfig, ecfg: EngineConfig):
+                 dcfg: DraftConfig, ecfg: EngineConfig,
+                 eos_token_id: Optional[int] = None):
         self.params, self.cfg = params, cfg
+        self.eos_token_id = eos_token_id  # device-side finish detection
         self.dparams, self.dcfg = dparams, dcfg
         self.ecfg = ecfg
         if ecfg.tree_paths is not None:
@@ -76,6 +80,7 @@ class EagleEngine:
             self._lm_head_w = None
         self._prefill_jit = {}
         self._round_jit = jax.jit(self._round, donate_argnums=(2,))
+        self._round_jit_batched = None
         self._vanilla_prefill_jit = {}
         self._vanilla_step_jit = jax.jit(self._vanilla_step, donate_argnums=(1,))
         self._vanilla_scan_jit = {}
@@ -135,7 +140,8 @@ class EagleEngine:
         tokens_buf = jnp.zeros((1, S), jnp.int32)
         tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, tokens, (0, 0))
         return EngineState(tokens=tokens_buf, length=prompt_len, cache=cache,
-                           dcache=dr.dcache, tree=dr.tree, key=key)
+                           dcache=dr.dcache, tree=dr.tree, key=key,
+                           done=jnp.bool_(False))
 
     def _pick_token(self, logits: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         e = self.ecfg
@@ -170,12 +176,21 @@ class EagleEngine:
             bonus = categorical(k_bonus, acc.sample_p)
 
         # --- commit tokens + compact KV (utils.py:419-452)
+        # finished sequences commit nothing (batched per-sequence finish,
+        # the modeling_eagle.py:1463-1552 ragged-accept semantics)
         path_tokens = tree.tokens[acc.path]                         # [PATH]
+        n_acc = jnp.where(state.done, 0, acc.accept_len + 1)
         tokens_buf = jax.lax.dynamic_update_slice(
             state.tokens, path_tokens[None], (0, Lc))
-        n_acc = acc.accept_len + 1
         cache = compact_accepted(with_length(res.cache, Lc[None]),
                                  acc.path[None], n_acc[None])
+        done = state.done
+        if self.eos_token_id is not None:
+            in_window = jnp.arange(self.path_len) < n_acc
+            done = done | jnp.any(
+                (path_tokens == self.eos_token_id) & in_window)
+        # capacity stop: no room for another round's tree + commit window
+        done = done | (Lc + n_acc + self.path_len + e.tree_size + 1 >= S)
 
         # --- next draft tree (utils.py:459-468)
         ext_tokens = jnp.concatenate(
@@ -187,9 +202,9 @@ class EagleEngine:
 
         new_state = EngineState(tokens=tokens_buf, length=Lc + n_acc,
                                 cache=cache, dcache=dr.dcache, tree=dr.tree,
-                                key=key)
+                                key=key, done=done)
         return new_state, RoundOutput(new_tokens=path_tokens,
-                                      accept_len=acc.accept_len)
+                                      accept_len=n_acc - 1, done=done)
 
     def generate(self, prompt_ids, max_new_tokens: int = 512,
                  eos_token_id: Optional[int] = None, seed: int = 0,
@@ -219,6 +234,8 @@ class EagleEngine:
         while new_tokens < max_new_tokens:
             state, r = self._round_jit(self.params, self.dparams, state)
             alen = int(r.accept_len)
+            if alen < 0:  # device-side finish flag tripped
+                break
             toks = np.asarray(r.new_tokens[: alen + 1])
             rounds += 1
             accept_lens.append(alen)
@@ -240,6 +257,73 @@ class EagleEngine:
         if log:
             return np.asarray(out), new_tokens, rounds
         return np.asarray(out)
+
+    # ------------------------------------------------------------------
+    # batched speculative generation (modeling_eagle.py EAGLE bs>1 analog)
+    # ------------------------------------------------------------------
+
+    def generate_batch(self, prompts, max_new_tokens: int = 512, seed: int = 0):
+        """Batched speculative generation with per-sequence finish flags —
+        the behavioral equivalent of the reference's standalone batched path
+        (modeling_eagle.py:1555-1736 `EAGLE.generate`): every sequence keeps
+        its own ragged accept lengths / KV lengths; finished sequences stop
+        committing. Implemented as `vmap` of the single-sequence round
+        program (topology stays data, shapes stay fixed).
+
+        prompts: list of 1-D int token arrays. Requires the engine to be
+        constructed with `eos_token_id` for early finish (else all sequences
+        run the full budget). Returns a list of np arrays (prompt + completion).
+        """
+        B = len(prompts)
+        lens = [len(p) for p in prompts]
+        Tp = _bucket(max(lens))
+        padded = np.zeros((B, 1, Tp), np.int32)
+        for i, p in enumerate(prompts):
+            padded[i, 0, : lens[i]] = np.asarray(p, np.int32)
+        plens = jnp.asarray(lens, jnp.int32)
+
+        cache, dcache = self.init_caches()
+        caches = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), (cache, dcache))
+        keys = jax.random.split(jax.random.PRNGKey(seed), B)
+
+        kb = ("batch", Tp)
+        prefill_b = self._prefill_jit.get(kb)
+        if prefill_b is None:
+            prefill_b = jax.jit(jax.vmap(
+                self._prefill, in_axes=(None, None, 0, 0, 0, 0, 0)))
+            self._prefill_jit[kb] = prefill_b
+        state = prefill_b(self.params, self.dparams, jnp.asarray(padded),
+                          plens, caches[0], caches[1], keys)
+
+        round_b = self._round_jit_batched
+        if round_b is None:
+            round_b = jax.jit(jax.vmap(self._round, in_axes=(None, None, 0)),
+                              donate_argnums=(2,))
+            self._round_jit_batched = round_b
+
+        outs = [list(np.asarray(p)) for p in prompts]
+        new_counts = [0] * B
+        done = [False] * B
+        while not all(done):
+            state, r = round_b(self.params, self.dparams, state)
+            alens = np.asarray(r.accept_len)
+            toks = np.asarray(r.new_tokens)
+            rdone = np.asarray(r.done)
+            for i in range(B):
+                if done[i]:
+                    continue
+                for t in toks[i, : alens[i] + 1]:
+                    outs[i].append(int(t))
+                    new_counts[i] += 1
+                    if (self.eos_token_id is not None
+                            and t == self.eos_token_id):
+                        done[i] = True
+                        break
+                if new_counts[i] >= max_new_tokens or rdone[i] or \
+                        len(outs[i]) + self.path_len + 1 >= self.ecfg.max_len:
+                    done[i] = True
+        return [np.asarray(o) for o in outs]
 
     def generate_stream(self, prompt_ids, max_new_tokens: int = 512,
                         eos_token_id: Optional[int] = None, seed: int = 0):
@@ -264,6 +348,8 @@ class EagleEngine:
         while new_tokens < max_new_tokens:
             state, r = self._round_jit(self.params, self.dparams, state)
             alen = int(r.accept_len)
+            if alen < 0:
+                break
             rounds += 1
             stop = False
             for t in np.asarray(r.new_tokens[: alen + 1]):
