@@ -259,6 +259,73 @@ class EagleEngine:
         return np.asarray(out)
 
     # ------------------------------------------------------------------
+    # fully device-side generation: ONE dispatch per request
+    # ------------------------------------------------------------------
+
+    def _rounds_loop(self, params, dparams, state: EngineState,
+                     budget: jnp.ndarray):
+        """lax.while_loop over decode rounds — zero host round-trips.
+
+        This is the TPU-native shape of the decode loop (SURVEY.md §7 design
+        stance): the reference syncs with the host every round and every
+        accepted token (utils.py:375-415); here EOS and budget checks are
+        on-device `done` logic, so an entire generation is one XLA program.
+        """
+        L0 = state.length
+
+        def cond(carry):
+            st, rounds = carry
+            return (~st.done) & (st.length - L0 < budget)
+
+        def body(carry):
+            st, rounds = carry
+            st, _ = self._round(params, dparams, st)
+            return (st, rounds + 1)
+
+        state, rounds = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+        return state, rounds
+
+    def generate_fused(self, prompt_ids, max_new_tokens: int = 512,
+                       seed: int = 0, log: bool = False):
+        """Speculative generation with prefill + all rounds in two device
+        dispatches total. EOS stop requires the engine to be constructed
+        with `eos_token_id`. May overshoot max_new_tokens by up to one
+        round's window (trimmed host-side, EOS-respecting)."""
+        prompt = np.asarray(prompt_ids, np.int32).reshape(1, -1)
+        Lp = prompt.shape[1]
+        Tp = _bucket(Lp)
+        padded = np.zeros((1, Tp), np.int32)
+        padded[0, :Lp] = prompt
+        cache, dcache = self.init_caches()
+        key = jax.random.PRNGKey(seed)
+        kf = ("fused", Tp)
+        fn = self._prefill_jit.get(kf)
+        if fn is None:
+            def prefill_and_rounds(params, dparams, toks, plen, cache,
+                                   dcache, key, budget):
+                st = self._prefill(params, dparams, toks, plen, cache,
+                                   dcache, key)
+                st, rounds = self._rounds_loop(params, dparams, st, budget)
+                return st.tokens, st.length, rounds
+            fn = jax.jit(prefill_and_rounds, donate_argnums=(4, 5))
+            self._prefill_jit[kf] = fn
+        toks, length, rounds = fn(self.params, self.dparams,
+                                  jnp.asarray(padded), jnp.int32(Lp), cache,
+                                  dcache, key, jnp.int32(max_new_tokens))
+        out = np.asarray(toks[0, : int(length)])
+        # trim overshoot; respect EOS if configured
+        limit = Lp + max_new_tokens
+        if self.eos_token_id is not None:
+            gen = out[Lp:]
+            hits = np.nonzero(gen == self.eos_token_id)[0]
+            if hits.size:
+                limit = min(limit, Lp + int(hits[0]) + 1)
+        out = out[:limit]
+        if log:
+            return out, len(out) - Lp, int(rounds)
+        return out
+
+    # ------------------------------------------------------------------
     # batched speculative generation (modeling_eagle.py EAGLE bs>1 analog)
     # ------------------------------------------------------------------
 

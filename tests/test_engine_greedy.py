@@ -86,3 +86,21 @@ def test_eos_stop():
     a = eng.generate_vanilla(PROMPT, max_new_tokens=40, eos_token_id=eos)
     b = eng.generate(PROMPT, max_new_tokens=40, eos_token_id=eos)
     np.testing.assert_array_equal(a, b)
+
+
+def test_fused_generation_matches_host_loop():
+    """One-dispatch lax.while_loop generation == per-round host loop."""
+    eng = make_engine(1)
+    ref = eng.generate(PROMPT, max_new_tokens=40)
+    out, ntok, rounds = eng.generate_fused(PROMPT, max_new_tokens=40, log=True)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+    assert rounds >= 1
+
+    # with EOS configured on-device
+    from eagle_tpu.engine.engine import EagleEngine
+    eos = int(ref[len(PROMPT) + 7])
+    eng2 = EagleEngine(eng.params, eng.cfg, eng.dparams, eng.dcfg, eng.ecfg,
+                       eos_token_id=eos)
+    a = eng.generate_vanilla(PROMPT, max_new_tokens=40, eos_token_id=eos)
+    b = eng2.generate_fused(PROMPT, max_new_tokens=40)
+    np.testing.assert_array_equal(a, b)
