@@ -517,3 +517,37 @@ class EagleEngine:
 def _bucket(n: int, quantum: int = 128) -> int:
     """Pad prompt lengths to fixed buckets → one compile per bucket."""
     return max(quantum, -(-n // quantum) * quantum)
+
+
+def calibrate_total_tokens(params: dict, cfg: ModelConfig,
+                           candidates=(40, 48, 50, 56, 60),
+                           weights=(1.0, 1.05, 1.07, 1.1, 1.13),
+                           max_len: int = 2048, reps: int = 20) -> int:
+    """Auto-tune the tree size: time a target forward at each candidate
+    token count and pick the weighted argmin (ea_model.py:148-168 analog —
+    the reference runs this when total_token == -1). Larger trees raise τ
+    but lengthen the verify forward; the weights encode the reference's
+    empirical τ gain per size step."""
+    import time
+
+    timings = []
+    for n in candidates:
+        cache = init_cache(cfg.num_layers, 1, cfg.num_kv_heads, max_len,
+                           cfg.head_dim, dtype=cfg.dtype)
+        tokens = jnp.zeros((1, n), jnp.int32)
+        pos = jnp.arange(n, dtype=jnp.int32)[None]
+
+        @jax.jit
+        def fwd(params, tokens, cache, pos):
+            mask = prefill_mask(tokens.shape[1], cache.max_len, cache.length)
+            res = transformer.forward(params, cfg, tokens, cache, pos, mask)
+            return transformer.lm_head(params, cfg, res.hidden[:, -1])
+
+        fwd(params, tokens, cache, pos).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fwd(params, tokens, cache, pos)
+        out.block_until_ready()
+        timings.append((time.perf_counter() - t0) / reps)
+    scores = [t * w for t, w in zip(timings, weights)]
+    return candidates[int(np.argmin(scores))]

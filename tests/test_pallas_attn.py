@@ -1,0 +1,58 @@
+"""Pallas tree-attention kernel vs XLA reference (interpret mode on CPU;
+the same kernel compiles natively on TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eagle_tpu.ops import pallas_attn
+from eagle_tpu.ops.tree import ancestor_mask
+
+
+def _rand_tree_mask(N, rng):
+    parents = np.zeros(N, np.int64)
+    for i in range(1, N):
+        parents[i] = rng.integers(0, i)
+    return np.asarray(ancestor_mask(jnp.asarray(parents, jnp.int32), N))
+
+
+@pytest.mark.parametrize("T,nq,nkv,d,S,start", [
+    (16, 4, 2, 8, 128, 37),
+    (61, 8, 4, 64, 512, 0),
+    (61, 8, 8, 64, 512, 451),   # tree overlaps last block
+    (26, 4, 4, 32, 256, 100),
+])
+def test_tree_attention_matches_xla(T, nq, nkv, d, S, start):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(T, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(nkv, S, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(nkv, S, d)), jnp.float32)
+    tm = jnp.asarray(_rand_tree_mask(T, rng))
+    st = jnp.int32(start)
+
+    ref = pallas_attn.tree_attention_xla(q, k, v, tm, st)
+    out = pallas_attn.tree_attention(q, k, v, tm, st, blk=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_tree_attention_xla_matches_transformer_attention():
+    """The standalone XLA reference must agree with the in-model attention
+    (same masks, batched layout)."""
+    from eagle_tpu.models.transformer import attention
+    from eagle_tpu.ops.masks import tree_mask_full
+
+    rng = np.random.default_rng(1)
+    T, nq, nkv, d, S, start = 13, 4, 2, 16, 64, 21
+    q = jnp.asarray(rng.normal(size=(1, T, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, nkv, S, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, nkv, S, d)), jnp.float32)
+    tm = jnp.asarray(_rand_tree_mask(T, rng))
+    mask = tree_mask_full(tm[None], S, jnp.asarray([start], jnp.int32))
+    ref = attention(q, k, v, mask)[0]
+    out = pallas_attn.tree_attention_xla(q[0], k[0], v[0], tm,
+                                         jnp.int32(start))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
