@@ -127,18 +127,16 @@ def ttt_forward(dparams: dict, dcfg: DraftConfig, taps: jnp.ndarray,
     k_all = jnp.zeros((Ls, B, T, nq, d), dt)
     v_all = jnp.zeros((Ls, B, T, nq, d), dt)
 
-    # draft-vocab restriction (cnets.py:840-848)
+    # draft-vocab restriction (cnets.py:840-848); identity when the draft
+    # uses the full vocab — gathering [B,T,V] by arange would double peak HBM
+    reduced = bool(dcfg.draft_vocab_size
+                   and dcfg.draft_vocab_size != dcfg.vocab_size)
     dV = dcfg.effective_draft_vocab
-    if dcfg.draft_vocab_size and dcfg.draft_vocab_size != dcfg.vocab_size:
+    if reduced:
         d2t_ids = jnp.arange(dV, dtype=jnp.int32) + dparams["d2t"]
         t2d = dparams["t2d"]
-    else:
-        d2t_ids = jnp.arange(dV, dtype=jnp.int32)
-        t2d = jnp.ones((dcfg.vocab_size,), bool)
 
-    plosses, accs = [], []
-    ids, tgt, lmask = input_ids, target_logits, loss_mask
-    for s in range(Ls):
+    def ttt_step(s, h, k_all, v_all, ids, tgt, lmask):
         emb = jnp.take(dparams["embed"]["w"], ids, axis=0).astype(dt)
         # decoder layer with concat(norm(emb), norm(hidden)) input
         residual = h
@@ -170,18 +168,32 @@ def ttt_forward(dparams: dict, dcfg: DraftConfig, taps: jnp.ndarray,
                          preferred_element_type=jnp.float32)  # [B,T,dV]
         tgt_f = tgt.astype(jnp.float32)
         tgt_argmax = jnp.argmax(tgt_f, axis=-1)
-        pos_mask = (t2d[tgt_argmax] & (lmask > 0)).astype(jnp.float32)
-        tgt_restricted = tgt_f[..., d2t_ids]
+        if reduced:
+            pos_mask = (t2d[tgt_argmax] & (lmask > 0)).astype(jnp.float32)
+            tgt_restricted = tgt_f[..., d2t_ids]
+        else:
+            pos_mask = (lmask > 0).astype(jnp.float32)
+            tgt_restricted = tgt_f
         target_p = jax.lax.stop_gradient(
             jax.nn.softmax(tgt_restricted, axis=-1))
         out_logp = jax.nn.log_softmax(logits, axis=-1)
         ploss = -jnp.mean(jnp.sum(target_p * out_logp, axis=-1) * pos_mask)
-        plosses.append(ploss)
         acc = jnp.sum((jnp.argmax(logits, -1) == jnp.argmax(target_p, -1))
                       * pos_mask) / (jnp.sum(lmask) + 1e-6)
-        accs.append(acc)
+        return h_out, k_all, v_all, ploss, acc
 
-        h = h_out
+    plosses, accs = [], []
+    ids, tgt, lmask = input_ids, target_logits, loss_mask
+    for s in range(Ls):
+        # rematerialize each step's activations in the backward pass: the
+        # per-step [B,T,V] logits/softmax temporaries dominate peak HBM
+        # (the reference reaches for torch checkpointing the same way,
+        # traineagle3/cnets.py:800-812)
+        h, k_all, v_all, ploss, acc = jax.checkpoint(
+            ttt_step, static_argnums=(0,))(s, h, k_all, v_all, ids, tgt,
+                                           lmask)
+        plosses.append(ploss)
+        accs.append(acc)
         ids = _shift_left(ids)
         tgt = _shift_left(tgt)
         lmask = _shift_left(lmask)
@@ -237,7 +249,9 @@ def train_step(dparams: dict, opt_state, target_params: dict,
     taps, logits = target_features(target_params, cfg, batch["input_ids"],
                                    batch["pad_mask"])
     taps = jax.lax.stop_gradient(taps)
-    logits = jax.lax.stop_gradient(logits)
+    # teacher logits stored in the model dtype (bf16): the fp32 copies
+    # otherwise dominate peak HBM across the unrolled TTT steps
+    logits = jax.lax.stop_gradient(logits).astype(cfg.dtype)
     # dataprepare's single left shift (cnets.py:724-725)
     ids = _shift_left(batch["input_ids"])
     tgt = _shift_left(logits)
