@@ -70,38 +70,21 @@ def main():
     eng = EagleEngine(params, cfg, dparams, dcfg, ecfg)
     log(f"[bench] setup {time.time()-t0:.1f}s; devices={jax.devices()}")
 
-    # ---- corpus: batched target self-generations (one scan dispatch)
+    # ---- corpus: the ENGINE's own greedy trajectories. Greedy verify-forward
+    # logits along the accepted path are independent of the junk elsewhere in
+    # the tree (row-independent matmuls + exactly-zeroed masked attention
+    # columns), so trajectories generated here are bit-identical to the ones
+    # the measurement engine walks — the draft is trained exactly on the
+    # distribution it will speculate.
     t1 = time.time()
     B, Lp, T_gen = 32, 16, 144
     rng = np.random.default_rng(0)
     prompts = rng.integers(0, cfg.vocab_size, size=(B, Lp)).astype(np.int32)
-    S = Lp + T_gen + 8
-    cache = init_cache(cfg.num_layers, B, cfg.num_kv_heads, S, cfg.head_dim,
-                       dtype=cfg.dtype)
-    pos = jnp.broadcast_to(jnp.arange(Lp, dtype=jnp.int32)[None], (B, Lp))
-
-    @jax.jit
-    def gen_corpus(params, toks, cache):
-        mask = prefill_mask(Lp, S, cache.length)
-        res = transformer.forward(params, cfg, toks, cache, pos, mask)
-        logits = transformer.lm_head(params, cfg, res.hidden[:, -1])
-        tok = jnp.argmax(logits, -1).astype(jnp.int32)
-        cache2 = res.cache
-
-        def body(carry, _):
-            cache, tok = carry
-            m = prefill_mask(1, S, cache.length)
-            r = transformer.forward(params, cfg, tok[:, None], cache,
-                                    cache.length[:, None], m)
-            lg = transformer.lm_head(params, cfg, r.hidden[:, 0])
-            return (r.cache, jnp.argmax(lg, -1).astype(jnp.int32)), tok
-
-        (_, _), toks_out = jax.lax.scan(body, (cache2, tok), None,
-                                        length=T_gen)
-        return jnp.swapaxes(toks_out, 0, 1)
-
-    gen = gen_corpus(params, jnp.asarray(prompts), cache)
-    data = np.concatenate([prompts, np.asarray(gen)], axis=1)
+    corpus = []
+    for i in range(B):
+        seq = eng.generate_fused(prompts[i], max_new_tokens=T_gen)
+        corpus.append(seq[: Lp + T_gen])
+    data = np.stack(corpus).astype(np.int32)
     log(f"[bench] corpus {data.shape} {time.time()-t1:.1f}s")
 
     # ---- distill the draft (TTT objective)

@@ -108,3 +108,76 @@ def accept_sampled(tree: Tree, logits: jnp.ndarray, key: jax.Array,
     sample_p = jnp.where(done, sample_p, probs[cur])
     path = jnp.concatenate([jnp.zeros((1,), jnp.int32), rest])
     return AcceptResult(path=path, accept_len=alen, sample_p=sample_p)
+
+
+def accept_sampled_true_q(tree: Tree, logits: jnp.ndarray, key: jax.Array,
+                          ecfg: EngineConfig, path_len: int) -> AcceptResult:
+    """True-q multi-round rejection for *sampled* candidate trees
+    (modeling_eagle.py:1398-1459).
+
+    Requires tree.node_probs: the processed draft distribution at each node
+    (children were sampled from it without replacement). Candidate j of a
+    node is accepted w.p. min(1, p_res(x_j)/q_res(x_j)) where q_res is the
+    draft distribution with earlier siblings removed; on rejection the
+    target residual is p_res ← norm(max(p_res − q_res, 0)) (full-vector
+    subtraction, the classic lossless speculative rule).
+    """
+    assert tree.node_probs is not None, "true_q needs a sampled tree"
+    K = tree.children.shape[1]
+    V = logits.shape[-1]
+    proc = process_logits(logits, ecfg.temperature, ecfg.sampling_top_k,
+                          ecfg.top_p)
+    probs = jax.nn.softmax(proc, axis=-1)                 # [N, V] target
+    keys = jax.random.split(key, path_len - 1)
+
+    def step(carry, key_i):
+        cur, alen, done, sample_p = carry
+        p0 = probs[cur]                                   # target at node
+        qb = tree.node_probs[cur]                         # draft at node
+        ch = tree.children[cur]
+        valid = ch >= 0
+        ctok = tree.tokens[jnp.maximum(ch, 0)]
+        u = jax.random.uniform(key_i, (K,), jnp.float32)
+
+        def inner(inner_carry, j):
+            p_res, cumQ, acc_idx, stopped = inner_carry
+            x = ctok[j]
+            ok = valid[j] & ~stopped
+            qx_base = qb[x]
+            denomQ = jnp.maximum(1.0 - cumQ, 1e-20)
+            qx = qx_base / denomQ
+            px = p_res[x]
+            live = ok & (qx_base > 0)
+            accept = live & (u[j] <= px / jnp.maximum(qx, 1e-20))
+            # q_res vector: qb with earlier (valid) siblings zeroed,
+            # renormalized (modeling_eagle.py:1436-1441 b_indices semantics)
+            earlier = (jnp.arange(K) < j) & valid
+            q_vec = qb.at[ctok].multiply(
+                jnp.where(earlier, 0.0, 1.0)) / denomQ
+            rejected = live & ~accept
+            p_new = jnp.maximum(p_res - q_vec, 0.0)
+            p_new_sum = jnp.sum(p_new)
+            p_new = jnp.where(p_new_sum > 0, p_new / p_new_sum, p_res)
+            p_res = jnp.where(rejected, p_new, p_res)
+            cumQ = cumQ + jnp.where(live, qx_base, 0.0)
+            acc_idx = jnp.where(accept & (acc_idx < 0), j, acc_idx)
+            stopped = stopped | accept
+            return (p_res, cumQ, acc_idx, stopped), None
+
+        (p_res, _, acc_idx, _), _ = jax.lax.scan(
+            inner, (p0, jnp.float32(0.0), jnp.int32(-1), done),
+            jnp.arange(K))
+        any_acc = (acc_idx >= 0) & ~done
+        nxt = ch[jnp.maximum(acc_idx, 0)]
+        newly_done = ~done & ~any_acc
+        sample_p = jnp.where(newly_done, p_res, sample_p)
+        cur = jnp.where(any_acc, nxt, cur)
+        return (cur, alen + any_acc.astype(jnp.int32), done | ~any_acc,
+                sample_p), cur
+
+    init = (jnp.int32(0), jnp.int32(0), jnp.bool_(False),
+            jnp.zeros((V,), jnp.float32))
+    (cur, alen, done, sample_p), rest = jax.lax.scan(step, init, keys)
+    sample_p = jnp.where(done, sample_p, probs[cur])
+    path = jnp.concatenate([jnp.zeros((1,), jnp.int32), rest])
+    return AcceptResult(path=path, accept_len=alen, sample_p=sample_p)

@@ -93,11 +93,45 @@ class StaticTreeSpec:
 def draft_round_static(dparams: dict, dcfg: DraftConfig, spec: StaticTreeSpec,
                        ext_tokens: jnp.ndarray, ext_feats: jnp.ndarray,
                        n_new: jnp.ndarray, dcache: KVCache,
-                       target_lm_head: Optional[jnp.ndarray] = None) -> DraftRound:
+                       target_lm_head: Optional[jnp.ndarray] = None,
+                       ecfg: Optional[EngineConfig] = None,
+                       key: Optional[jax.Array] = None) -> DraftRound:
     """EAGLE-1 static-tree drafting: expand the fixed topology level by
-    level, each node's token = the `rank`-th top-k token of its parent's
-    draft distribution (utils_c.py tree_indices semantics)."""
+    level. Deterministic mode: node token = the `rank`-th top-k token of its
+    parent's draft distribution (utils_c.py tree_indices semantics).
+    Sampled mode (ecfg.acceptance=="true_q", temperature>0, key given):
+    children are drawn *without replacement* from the parent's processed
+    draft distribution (modeling_eagle.py:842-860 `sample` via Gumbel
+    top-k), and the per-node distributions ride along in Tree.node_probs
+    for true-q acceptance."""
     import numpy as np
+
+    sampled = (ecfg is not None and key is not None
+               and ecfg.temperature > 0 and ecfg.acceptance == "true_q")
+
+    def candidate_topk(logits_rows, sub_key):
+        """[n, dV] draft logits → (tokens [n, k] target-vocab, probs_tgt
+        [n, V_target] or None)."""
+        if not sampled:
+            _, tk = jax.lax.top_k(logits_rows, k)
+            return draft_mod.map_draft_to_target(dparams, dcfg, tk), None
+        from .sampling import process_logits
+        proc = process_logits(logits_rows, ecfg.temperature,
+                              ecfg.sampling_top_k, ecfg.top_p)
+        probs = jax.nn.softmax(proc, axis=-1)             # [n, dV]
+        g = -jnp.log(-jnp.log(jax.random.uniform(
+            sub_key, probs.shape, jnp.float32, 1e-20, 1.0)))
+        _, tk = jax.lax.top_k(jnp.log(jnp.maximum(probs, 1e-30)) + g, k)
+        toks = draft_mod.map_draft_to_target(dparams, dcfg, tk)
+        dV = probs.shape[-1]
+        if dV != dcfg.vocab_size:  # scatter reduced-vocab probs to target ids
+            ids = draft_mod.map_draft_to_target(
+                dparams, dcfg, jnp.arange(dV, dtype=jnp.int32))
+            probs_tgt = jnp.zeros(probs.shape[:-1] + (dcfg.vocab_size,),
+                                  jnp.float32).at[..., ids].set(probs)
+        else:
+            probs_tgt = probs
+        return toks, probs_tgt
 
     k = spec.k
     T = ext_tokens.shape[0]
@@ -114,10 +148,13 @@ def draft_round_static(dparams: dict, dcfg: DraftConfig, spec: StaticTreeSpec,
     root_token = ext_tokens[n_new - 1]
     cache = dres.cache
 
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, spec.max_depth + 1)
     root_logits = draft_mod.draft_logits(dparams, dcfg, root_hidden,
                                          target_lm_head)
-    _, root_topk = jax.lax.top_k(root_logits, k)
-    root_topk = draft_mod.map_draft_to_target(dparams, dcfg, root_topk)
+    root_topk, root_probs = candidate_topk(root_logits[None], keys[0])
+    root_topk = root_topk[0]
 
     N = spec.num_nodes
     node_tokens = jnp.zeros((N,), jnp.int32)
@@ -125,6 +162,10 @@ def draft_round_static(dparams: dict, dcfg: DraftConfig, spec: StaticTreeSpec,
     node_hidden = node_hidden.at[0].set(root_hidden)
     topk_per_node = jnp.zeros((N, k), jnp.int32)
     topk_per_node = topk_per_node.at[0].set(root_topk)
+    node_probs = None
+    if sampled:
+        node_probs = jnp.zeros((N, dcfg.vocab_size), jnp.float32)
+        node_probs = node_probs.at[0].set(root_probs[0])
 
     written = 0  # tree-scratch rows written so far (static counter)
     for d, level in enumerate(spec.levels):
@@ -151,14 +192,15 @@ def draft_round_static(dparams: dict, dcfg: DraftConfig, spec: StaticTreeSpec,
         node_hidden = node_hidden.at[jnp.asarray(level)].set(h)
         if d + 1 < spec.max_depth:
             logits = draft_mod.draft_logits(dparams, dcfg, h, target_lm_head)
-            _, tk = jax.lax.top_k(logits, k)
-            tk = draft_mod.map_draft_to_target(dparams, dcfg, tk)
+            tk, pr = candidate_topk(logits, keys[d + 1])
             topk_per_node = topk_per_node.at[jnp.asarray(level)].set(tk)
+            if sampled:
+                node_probs = node_probs.at[jnp.asarray(level)].set(pr)
         written += n_d
 
     node_tokens = node_tokens.at[0].set(root_token)
     tree = build_tree(node_tokens, jnp.asarray(spec.parents, jnp.int32), k,
-                      max_depth=spec.max_depth + 1)
+                      max_depth=spec.max_depth + 1, node_probs=node_probs)
     dcache_out = KVCache(k=cache.k, v=cache.v, length=dlen[None])
     return DraftRound(tree=tree, dcache=dcache_out)
 

@@ -89,12 +89,14 @@ class EagleEngine:
     # cache allocation
     # ------------------------------------------------------------------
 
-    def _draft_round(self, dparams, ext_tokens, ext_feats, n_new, dcache):
+    def _draft_round(self, dparams, ext_tokens, ext_feats, n_new, dcache,
+                     key=None):
         if self.static_spec is not None:
             from .drafter import draft_round_static
             return draft_round_static(dparams, self.dcfg, self.static_spec,
                                       ext_tokens, ext_feats, n_new, dcache,
-                                      self._lm_head_w)
+                                      self._lm_head_w, ecfg=self.ecfg,
+                                      key=key)
         return draft_round(dparams, self.dcfg, self.ecfg, ext_tokens,
                            ext_feats, n_new, dcache, self._lm_head_w)
 
@@ -128,7 +130,7 @@ class EagleEngine:
         res = transformer.forward(params, self.cfg, tokens, cache, pos, mask)
         last_logits = transformer.lm_head(
             params, self.cfg, res.hidden[0, prompt_len - 1])      # [V] fp32
-        key, k1 = jax.random.split(key)
+        key, k1, k_draft = jax.random.split(key, 3)
         root = self._pick_token(last_logits, k1)
         cache = with_length(res.cache, prompt_len[None])
 
@@ -136,7 +138,8 @@ class EagleEngine:
         ext_tokens = jnp.concatenate(
             [tokens[0, 1:], jnp.zeros((1,), jnp.int32)]
         ).at[prompt_len - 1].set(root)
-        dr = self._draft_round(dparams, ext_tokens, feats, prompt_len, dcache)
+        dr = self._draft_round(dparams, ext_tokens, feats, prompt_len, dcache,
+                               key=k_draft)
         tokens_buf = jnp.zeros((1, S), jnp.int32)
         tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, tokens, (0, 0))
         return EngineState(tokens=tokens_buf, length=prompt_len, cache=cache,
@@ -167,10 +170,15 @@ class EagleEngine:
         feats = _target_feats(res, self.dcfg.version)[0]               # [N,F]
 
         # --- acceptance (utils.py:337-416)
-        key, k_acc, k_bonus = jax.random.split(state.key, 3)
+        key, k_acc, k_bonus, k_draft = jax.random.split(state.key, 4)
         if e.temperature == 0.0:
             acc = accept_mod.accept_greedy(tree, logits, self.path_len)
             bonus = jnp.argmax(acc.sample_p).astype(jnp.int32)
+        elif tree.node_probs is not None:
+            # sampled candidates → true-q rule (modeling_eagle.py:1398-1459)
+            acc = accept_mod.accept_sampled_true_q(tree, logits, k_acc, e,
+                                                   self.path_len)
+            bonus = categorical(k_bonus, acc.sample_p)
         else:
             acc = accept_mod.accept_sampled(tree, logits, k_acc, e, self.path_len)
             bonus = categorical(k_bonus, acc.sample_p)
@@ -198,7 +206,7 @@ class EagleEngine:
         ).at[acc.accept_len].set(bonus)
         ext_feats = feats[acc.path]                                 # [PATH, F]
         dr = self._draft_round(dparams, ext_tokens, ext_feats, n_acc,
-                               state.dcache)
+                               state.dcache, key=k_draft)
 
         new_state = EngineState(tokens=tokens_buf, length=Lc + n_acc,
                                 cache=cache, dcache=dr.dcache, tree=dr.tree,

@@ -19,7 +19,7 @@ Conventions:
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Sequence
+from typing import List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +36,11 @@ class Tree(NamedTuple):
                              root→i path.
     positions: [N] int32  — node depth (root = 0).
     children:  [N, K] int32 — child node ids in node-index order, -1 padded.
+    node_probs: [N, V] f32 or None — the processed draft distribution AT
+               each node (used to sample its children); only set when
+               candidates were *sampled* for true-q acceptance
+               (modeling_eagle.py:842-860 `sample` + `op`/`p_indices`
+               machinery).
     """
 
     tokens: jnp.ndarray
@@ -43,6 +48,7 @@ class Tree(NamedTuple):
     mask: jnp.ndarray
     positions: jnp.ndarray
     children: jnp.ndarray
+    node_probs: Optional[jnp.ndarray] = None
 
     @property
     def num_nodes(self) -> int:
@@ -115,13 +121,15 @@ def paths_from_mask(mask: jnp.ndarray, depths: jnp.ndarray, max_path: int) -> jn
     return jnp.where(valid, path, -1).astype(jnp.int32)
 
 
-def build_tree(tokens: jnp.ndarray, parents: jnp.ndarray, k: int, max_depth: int) -> Tree:
+def build_tree(tokens: jnp.ndarray, parents: jnp.ndarray, k: int, max_depth: int,
+               node_probs: Optional[jnp.ndarray] = None) -> Tree:
     """Assemble a Tree from tokens + parents (all jnp, jit-safe)."""
     mask = ancestor_mask(parents, max_depth)
     depths = depths_from_mask(mask)
     children = children_table(parents, k)
     return Tree(tokens=tokens.astype(jnp.int32), parents=parents.astype(jnp.int32),
-                mask=mask, positions=depths, children=children)
+                mask=mask, positions=depths, children=children,
+                node_probs=node_probs)
 
 
 # ---------------------------------------------------------------------------

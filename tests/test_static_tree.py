@@ -28,3 +28,14 @@ def test_static_tree_sampled_runs():
     eng = make_engine(1, tree_paths=MC_SIM_7B_63, temperature=0.9)
     out = eng.generate(PROMPT, max_new_tokens=16, seed=3)
     assert len(out) == len(PROMPT) + 16
+
+
+def test_static_tree_true_q_sampled_runs():
+    """Sampled-candidate static trees + true-q acceptance end-to-end."""
+    eng = make_engine(1, tree_paths=MC_SIM_7B_63, temperature=0.9,
+                      acceptance="true_q")
+    out, ntok, rounds = eng.generate(PROMPT, max_new_tokens=24, log=True,
+                                     seed=11)
+    assert ntok == 24
+    out2 = eng.generate(PROMPT, max_new_tokens=24, seed=12)
+    assert not np.array_equal(out, out2)
