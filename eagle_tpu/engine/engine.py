@@ -85,6 +85,40 @@ class EagleEngine:
         self._vanilla_step_jit = jax.jit(self._vanilla_step, donate_argnums=(1,))
         self._vanilla_scan_jit = {}
 
+    @classmethod
+    def from_pretrained(cls, base_model_path: str, ea_model_path: str,
+                        use_eagle3: bool = False, total_tokens: int = 60,
+                        depth: int = 5, top_k: int = 10, max_len: int = 2048,
+                        temperature: float = 0.0,
+                        eos_token_id: Optional[int] = None,
+                        dtype=jnp.bfloat16,
+                        mesh=None) -> "EagleEngine":
+        """Load target + draft checkpoints and build an engine — the
+        ea_model.py:89-170 `EaModel.from_pretrained` analog (total_tokens=-1
+        auto-tuning is available separately via `calibrate_total_tokens`).
+        When `mesh` is given, target params are tensor-parallel sharded and
+        the draft head replicated (parallel/sharding.py layout)."""
+        from ..models.hf_loader import load_draft, load_target
+
+        params, cfg = load_target(base_model_path, dtype=dtype)
+        dparams, dcfg = load_draft(ea_model_path,
+                                   version=3 if use_eagle3 else 1,
+                                   dtype=dtype,
+                                   target_embed=params["embed"]["w"])
+        if total_tokens == -1:
+            total_tokens = calibrate_total_tokens(params, cfg,
+                                                  max_len=max_len)
+        ecfg = EngineConfig(total_tokens=total_tokens, depth=depth,
+                            top_k=top_k, max_len=max_len,
+                            temperature=temperature)
+        if mesh is not None:
+            from ..parallel import sharding as shd
+            params = shd.shard_params(params, mesh,
+                                      shd.target_param_specs(cfg))
+            dparams = shd.replicate(dparams, mesh)
+        return cls(params, cfg, dparams, dcfg, ecfg,
+                   eos_token_id=eos_token_id)
+
     # ------------------------------------------------------------------
     # cache allocation
     # ------------------------------------------------------------------

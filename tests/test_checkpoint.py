@@ -56,3 +56,84 @@ def test_orbax_train_state_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(restored["dparams"]),
                     jax.tree.leaves(dparams)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_from_pretrained_roundtrip(tmp_path):
+    """Export tiny target+draft checkpoints to disk, then boot an engine via
+    EagleEngine.from_pretrained and generate (full load path)."""
+    import json
+    from safetensors.numpy import save_file
+
+    import jax
+    import jax.numpy as jnp
+
+    from eagle_tpu.engine.engine import EagleEngine
+    from eagle_tpu.models import transformer
+    from test_engine_greedy import tiny_cfg, PROMPT
+
+    cfg = tiny_cfg()
+    params = transformer.init_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jnp.float32)
+
+    # write target checkpoint in HF naming
+    base = tmp_path / "target"
+    base.mkdir()
+    sd = {}
+
+    def put(name, x, transpose=False):
+        a = np.asarray(x, np.float32)
+        sd[name] = a.T.copy() if transpose and a.ndim == 2 else a
+
+    put("model.embed_tokens.weight", params["embed"]["w"])
+    put("model.norm.weight", params["final_norm"])
+    put("lm_head.weight", params["lm_head"], transpose=True)
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        L = params["layers"]
+        put(p + "input_layernorm.weight", L["ln1"][i])
+        put(p + "post_attention_layernorm.weight", L["ln2"][i])
+        put(p + "self_attn.q_proj.weight", L["wq"][i], transpose=True)
+        put(p + "self_attn.k_proj.weight", L["wk"][i], transpose=True)
+        put(p + "self_attn.v_proj.weight", L["wv"][i], transpose=True)
+        put(p + "self_attn.o_proj.weight", L["wo"][i], transpose=True)
+        put(p + "mlp.gate_proj.weight", L["w_gate"][i], transpose=True)
+        put(p + "mlp.up_proj.weight", L["w_up"][i], transpose=True)
+        put(p + "mlp.down_proj.weight", L["w_down"][i], transpose=True)
+    save_file(sd, str(base / "model.safetensors"))
+    with open(base / "config.json", "w") as f:
+        json.dump({
+            "architectures": ["LlamaForCausalLM"], "model_type": "llama",
+            "vocab_size": cfg.vocab_size, "hidden_size": cfg.hidden_size,
+            "intermediate_size": cfg.intermediate_size,
+            "num_hidden_layers": cfg.num_layers,
+            "num_attention_heads": cfg.num_q_heads,
+            "num_key_value_heads": cfg.num_kv_heads,
+            "head_dim": cfg.head_dim, "rms_norm_eps": cfg.rms_eps,
+            "rope_theta": 10000.0, "max_position_embeddings": 128,
+            "tie_word_embeddings": False,
+        }, f)
+
+    # draft checkpoint (v1, cnets1 naming) via the exporter
+    dcfg = tiny_dcfg(1)
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(1),
+                                    dtype=jnp.float32)
+    draft_dir = tmp_path / "draft"
+    draft_dir.mkdir()
+    ckpt.export_draft_safetensors(dparams, 1,
+                                  str(draft_dir / "model.safetensors"))
+    with open(draft_dir / "config.json", "w") as f:
+        json.dump({
+            "vocab_size": dcfg.vocab_size, "hidden_size": dcfg.hidden_size,
+            "intermediate_size": dcfg.intermediate_size,
+            "num_hidden_layers": 1,
+            "num_attention_heads": dcfg.num_q_heads,
+            "num_key_value_heads": dcfg.num_kv_heads,
+            "head_dim": dcfg.head_dim, "rms_norm_eps": dcfg.rms_eps,
+        }, f)
+
+    eng = EagleEngine.from_pretrained(str(base), str(draft_dir),
+                                      total_tokens=15, depth=3, top_k=4,
+                                      max_len=256, dtype=jnp.float32)
+    ref = eng.generate_vanilla(PROMPT, max_new_tokens=20)
+    out = eng.generate(PROMPT, max_new_tokens=20)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
