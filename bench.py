@@ -77,7 +77,7 @@ def main():
     # the measurement engine walks — the draft is trained exactly on the
     # distribution it will speculate.
     t1 = time.time()
-    B, Lp, T_gen = 32, 16, 144
+    B, Lp, T_gen = 16, 16, 144
     rng = np.random.default_rng(0)
     prompts = rng.integers(0, cfg.vocab_size, size=(B, Lp)).astype(np.int32)
     corpus = []
