@@ -367,6 +367,66 @@ class EagleEngine:
             return out, len(out) - Lp, int(rounds)
         return out
 
+    def generate_batch_fused(self, prompts, max_new_tokens: int = 512,
+                             seed: int = 0):
+        """Batched + fused: the whole batch's decode is ONE device dispatch
+        (vmapped rounds inside lax.while_loop, per-sequence done/budget
+        flags). The serving configuration: weight streaming is amortized
+        across the batch while every sequence still speculates."""
+        B = len(prompts)
+        lens = [len(p) for p in prompts]
+        Tp = _bucket(max(lens))
+        padded = np.zeros((B, 1, Tp), np.int32)
+        for i, p in enumerate(prompts):
+            padded[i, 0, : lens[i]] = np.asarray(p, np.int32)
+        plens = jnp.asarray(lens, jnp.int32)
+        cache, dcache = self.init_caches()
+        caches = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (B,) + x.shape), (cache, dcache))
+        keys = jax.random.split(jax.random.PRNGKey(seed), B)
+
+        kf = ("batch_fused", B, Tp)
+        fn = self._prefill_jit.get(kf)
+        if fn is None:
+            def run(params, dparams, toks, plens, cache, dcache, keys,
+                    budget):
+                state = jax.vmap(
+                    self._prefill, in_axes=(None, None, 0, 0, 0, 0, 0)
+                )(params, dparams, toks, plens, cache, dcache, keys)
+                L0 = state.length
+
+                def cond(st):
+                    return jnp.any(~st.done)
+
+                def body(st):
+                    st, _ = jax.vmap(
+                        self._round, in_axes=(None, None, 0)
+                    )(params, dparams, st)
+                    return st._replace(
+                        done=st.done | (st.length - L0 >= budget))
+
+                state = jax.lax.while_loop(cond, body, state)
+                return state.tokens, state.length
+
+            fn = jax.jit(run, donate_argnums=(4, 5))
+            self._prefill_jit[kf] = fn
+        toks, lengths = fn(self.params, self.dparams, jnp.asarray(padded),
+                           plens, caches[0], caches[1], keys,
+                           jnp.int32(max_new_tokens))
+        toks = np.asarray(toks)
+        lengths = np.asarray(lengths)
+        outs = []
+        for i in range(B):
+            seq = toks[i, 0, : lengths[i]]
+            limit = lens[i] + max_new_tokens
+            if self.eos_token_id is not None:
+                gen = seq[lens[i]:]
+                hits = np.nonzero(gen == self.eos_token_id)[0]
+                if hits.size:
+                    limit = min(limit, lens[i] + int(hits[0]) + 1)
+            outs.append(seq[:limit])
+        return outs
+
     # ------------------------------------------------------------------
     # batched speculative generation (modeling_eagle.py EAGLE bs>1 analog)
     # ------------------------------------------------------------------

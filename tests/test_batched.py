@@ -38,3 +38,18 @@ def test_batch_eos_per_sequence():
                                  eos_token_id=eos)
     np.testing.assert_array_equal(outs[0], exp0)
     np.testing.assert_array_equal(outs[1], exp1)
+
+
+def test_batch_fused_matches_batch():
+    from eagle_tpu.engine.engine import EagleEngine
+    eng0 = make_engine(1)
+    prompts = [np.array([5, 17, 92, 3], np.int32),
+               np.array([7, 1], np.int32)]
+    refs = [eng0.generate_vanilla(p, max_new_tokens=20) for p in prompts]
+    eos = int(refs[0][len(prompts[0]) + 6])
+    eng = EagleEngine(eng0.params, eng0.cfg, eng0.dparams, eng0.dcfg,
+                      eng0.ecfg, eos_token_id=eos)
+    outs = eng.generate_batch_fused(prompts, max_new_tokens=20)
+    for p, o in zip(prompts, outs):
+        exp = eng0.generate_vanilla(p, max_new_tokens=20, eos_token_id=eos)
+        np.testing.assert_array_equal(o, exp)
