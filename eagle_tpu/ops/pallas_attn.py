@@ -4,9 +4,14 @@ The reference leaves these to eager PyTorch/cuBLAS (SURVEY.md §2.5): tree
 verification is a dense mask add + sdpa over the whole preallocated cache
 (/root/reference/eagle/model/modeling_llama_kv.py:722-743,1036-1041). Here
 the tree-verify attention is a flash-style Pallas kernel that never
-materializes [T, S] scores or the [T, S] boolean mask in HBM: the mask is
-*metadata* — a committed-prefix length plus the small [T, T] tree ancestor
-mask held in VMEM — applied on the fly per KV block with online softmax.
+materializes [T, S] scores or the [T, S] boolean mask in HBM.
+
+Mask-as-metadata design: the committed prefix is masked by a *comparison*
+against the prefix length (no dynamic slicing — lane-dim dynamic slices are
+not Mosaic-legal), and the tree's K/V ride in as separate refs with the
+static `[T, T]` ancestor mask, processed as a final phase of the same
+online-softmax loop. This also skips re-reading the tree K/V from HBM — the
+caller passes the freshly computed rows.
 
 Every kernel has an XLA reference implementation (`*_xla`) and equivalence
 tests (tests/test_pallas_attn.py); the engine falls back to XLA off-TPU.
@@ -24,17 +29,17 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _tree_attn_kernel(start_ref, q_ref, k_ref, v_ref, tm_ref, o_ref,
-                      m_scr, l_scr, acc_scr, *, blk: int, T: int, g: int,
-                      scale: float):
-    """Grid: (n_kv, S // blk); KV-block axis is innermost (sequential on a
-    TPU core) so the online-softmax scratch carries across j.
+def _tree_attn_kernel(start_ref, q_ref, k_ref, v_ref, kt_ref, vt_ref, tm_ref,
+                      o_ref, m_scr, l_scr, acc_scr, *, blk: int, T: int,
+                      g: int, scale: float, n_blocks: int):
+    """Grid: (n_kv, n_blocks + 1); KV-block axis innermost (sequential on a
+    TPU core) so the online-softmax scratch carries across j. Steps
+    j < n_blocks process prefix KV blocks (mask: col < start); the final
+    step processes the tree K/V under the static ancestor mask.
 
-    q_ref: [1, g*T, d] — this kv-head's grouped queries
-    k_ref/v_ref: [1, blk, d] — current KV block
-    tm_ref: [T, T + 2*blk] bool — tree ancestor mask padded with False on
-        both sides (real mask at column offset `blk`)
-    o_ref: [1, g*T, d]
+    q_ref: [1, T*g, d]   (t-major (T, g) rows for this kv head)
+    k_ref/v_ref: [1, blk, d] prefix block   kt_ref/vt_ref: [1, T, d]
+    tm_ref: [T, T] bool   o_ref: [1, T*g, d]
     """
     j = pl.program_id(1)
     start = start_ref[0]
@@ -46,49 +51,46 @@ def _tree_attn_kernel(start_ref, q_ref, k_ref, v_ref, tm_ref, o_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0]                                   # [gT, d]
-    k = k_ref[0]                                   # [blk, d]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # [gT, blk]
+    is_tree = j == n_blocks
 
-    col = j * blk + jax.lax.broadcasted_iota(jnp.int32, (g * T, blk), 1)
-    prefix_ok = col < start
-    # tree-mask slice for this block: columns [j*blk - start, ...) of the
-    # [T, T] mask; the ±blk padding makes the clamped offset correct for
-    # blocks entirely before/after the tree window (slice reads False).
-    off = jnp.clip(j * blk - start + blk, 0, T + blk)
-    tm = tm_ref[:, pl.ds(off, blk)]                # [T, blk]
-    tree_ok = jnp.repeat(tm, g, axis=0)            # [gT, blk] (t-major (T,g))
-    s = jnp.where(prefix_ok | tree_ok, s, NEG_INF)
+    def phase(k, v, mask):
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_scr[:] = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = m_new
 
-    m_prev = m_scr[:]                              # [gT, 1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)                         # [gT, blk]
-    l_new = alpha * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
-    acc = acc_scr[:] * alpha + jax.lax.dot_general(
-        p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    m_scr[:] = m_new
-    l_scr[:] = l_new
-    acc_scr[:] = acc
-
-    @pl.when(j == pl.num_programs(1) - 1)
+    @pl.when(~is_tree)
     def _():
+        col = j * blk + jax.lax.broadcasted_iota(jnp.int32, (g * T, blk), 1)
+        phase(k_ref[0], v_ref[0], col < start)
+
+    @pl.when(is_tree)
+    def _():
+        tree_ok = jnp.repeat(tm_ref[:], g, axis=0)  # [gT, T], t-major rows
+        phase(kt_ref[0], vt_ref[0], tree_ok)
         o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(
             o_ref.dtype)
 
 
 def tree_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
+                   k_tree: jnp.ndarray, v_tree: jnp.ndarray,
                    tree_mask: jnp.ndarray, start: jnp.ndarray,
                    blk: int = 512, interpret: bool = False) -> jnp.ndarray:
     """Fused tree-verify attention for one sequence.
 
-    q: [T, nq, d]; k_cache/v_cache: [n_kv, S, d]; tree_mask: [T, T] bool
-    (ancestor-or-self); start: scalar int32 — the tree occupies KV rows
-    [start, start+T), committed prefix is [0, start).
-    Returns [T, nq*d] in q.dtype. S must be a multiple of blk.
+    q: [T, nq, d]; k_cache/v_cache: [n_kv, S, d] committed-prefix KV (only
+    rows < start are attended); k_tree/v_tree: [T, n_kv, d] — the tree's own
+    freshly computed K/V; tree_mask: [T, T] bool ancestor-or-self;
+    start: scalar int32 prefix length. Returns [T, nq*d] in q.dtype.
     """
     T0, nq, d = q.shape
     n_kv, S, _ = k_cache.shape
@@ -101,23 +103,34 @@ def tree_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     T = -(-T0 // 8) * 8
     q = jnp.pad(q, ((0, T - T0), (0, 0), (0, 0)))
     tree_mask = jnp.pad(tree_mask, ((0, T - T0), (0, T - T0)))
+    k_tree = jnp.pad(k_tree, ((0, T - T0), (0, 0), (0, 0)))
+    v_tree = jnp.pad(v_tree, ((0, T - T0), (0, 0), (0, 0)))
 
     # [T, nq, d] → [n_kv, T*g, d] with t-major (T, g) rows per kv head
     qh = q.reshape(T, n_kv, g, d).transpose(1, 0, 2, 3).reshape(n_kv, T * g, d)
-    tm_pad = jnp.zeros((T, T + 2 * blk), bool)
-    tm_pad = jax.lax.dynamic_update_slice(tm_pad, tree_mask, (0, blk))
+    kt = jnp.swapaxes(k_tree, 0, 1)  # [n_kv, T, d]
+    vt = jnp.swapaxes(v_tree, 0, 1)
 
-    grid = (n_kv, S // blk)
+    n_blocks = S // blk
+    grid = (n_kv, n_blocks + 1)
+    kernel = functools.partial(_tree_attn_kernel, blk=blk, T=T, g=g,
+                               scale=scale, n_blocks=n_blocks)
     out = pl.pallas_call(
-        functools.partial(_tree_attn_kernel, blk=blk, T=T, g=g, scale=scale),
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, g * T, d), lambda h, j, *_: (h, 0, 0)),
-                pl.BlockSpec((1, blk, d), lambda h, j, *_: (h, j, 0)),
-                pl.BlockSpec((1, blk, d), lambda h, j, *_: (h, j, 0)),
-                pl.BlockSpec((T, T + 2 * blk), lambda h, j, *_: (0, 0)),
+                pl.BlockSpec(
+                    (1, blk, d),
+                    lambda h, j, *_: (h, jnp.minimum(j, n_blocks - 1), 0)),
+                pl.BlockSpec(
+                    (1, blk, d),
+                    lambda h, j, *_: (h, jnp.minimum(j, n_blocks - 1), 0)),
+                pl.BlockSpec((1, T, d), lambda h, j, *_: (h, 0, 0)),
+                pl.BlockSpec((1, T, d), lambda h, j, *_: (h, 0, 0)),
+                pl.BlockSpec((T, T), lambda h, j, *_: (0, 0)),
             ],
             out_specs=pl.BlockSpec((1, g * T, d), lambda h, j, *_: (h, 0, 0)),
             scratch_shapes=[
@@ -128,28 +141,34 @@ def tree_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
         ),
         out_shape=jax.ShapeDtypeStruct((n_kv, g * T, d), q.dtype),
         interpret=interpret,
-    )(start.reshape(1).astype(jnp.int32), qh, k_cache, v_cache, tm_pad)
+    )(start.reshape(1).astype(jnp.int32), qh, k_cache, v_cache, kt, vt,
+      tree_mask)
 
     # [n_kv, T*g, d] → [T, nq*d]
     out = out.reshape(n_kv, T, g, d).transpose(1, 0, 2, 3).reshape(T, nq * d)
     return out[:T0]
 
 
-def tree_attention_xla(q, k_cache, v_cache, tree_mask, start):
-    """Reference implementation (same math as models.transformer.attention)."""
+def tree_attention_xla(q, k_cache, v_cache, k_tree, v_tree, tree_mask, start):
+    """Reference implementation (same math as models.transformer.attention
+    applied to the concatenated prefix+tree key space)."""
     T, nq, d = q.shape
     n_kv, S, _ = k_cache.shape
     g = nq // n_kv
     col = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
-    prefix = col < start
-    placed = jax.lax.dynamic_update_slice(
-        jnp.zeros((T, S), bool), tree_mask, (0, start))
-    mask = prefix | placed
-    qh = q.reshape(T, n_kv, g, d).transpose(1, 2, 0, 3)  # [n_kv, g, T, d]
-    s = jnp.einsum("hgtd,hsd->hgts", qh, k_cache,
-                   preferred_element_type=jnp.float32) * (d ** -0.5)
-    s = jnp.where(mask[None, None], s, NEG_INF)
-    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(q.dtype)
-    o = jnp.einsum("hgts,hsd->hgtd", p, v_cache,
-                   preferred_element_type=jnp.float32).astype(q.dtype)
+    mask_p = col < start                                  # [T, S]
+    qh = q.reshape(T, n_kv, g, d).transpose(1, 2, 0, 3)   # [n_kv, g, T, d]
+    kt = jnp.swapaxes(k_tree, 0, 1)                       # [n_kv, T, d]
+    vt = jnp.swapaxes(v_tree, 0, 1)
+    sp = jnp.einsum("hgtd,hsd->hgts", qh, k_cache,
+                    preferred_element_type=jnp.float32) * (d ** -0.5)
+    sp = jnp.where(mask_p[None, None], sp, NEG_INF)
+    st = jnp.einsum("hgtd,hsd->hgts", qh, kt,
+                    preferred_element_type=jnp.float32) * (d ** -0.5)
+    st = jnp.where(tree_mask[None, None], st, NEG_INF)
+    s = jnp.concatenate([sp, st], axis=-1)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    v_all = jnp.concatenate([v_cache.astype(jnp.float32),
+                             vt.astype(jnp.float32)], axis=1)
+    o = jnp.einsum("hgts,hsd->hgtd", p, v_all).astype(q.dtype)
     return o.transpose(2, 0, 1, 3).reshape(T, nq * d)

@@ -18,41 +18,48 @@ def _rand_tree_mask(N, rng):
     return np.asarray(ancestor_mask(jnp.asarray(parents, jnp.int32), N))
 
 
-@pytest.mark.parametrize("T,nq,nkv,d,S,start", [
-    (16, 4, 2, 8, 128, 37),
-    (61, 8, 4, 64, 512, 0),
-    (61, 8, 8, 64, 512, 451),   # tree overlaps last block
-    (26, 4, 4, 32, 256, 100),
-])
-def test_tree_attention_matches_xla(T, nq, nkv, d, S, start):
-    rng = np.random.default_rng(0)
+def _setup(T, nq, nkv, d, S, seed=0):
+    rng = np.random.default_rng(seed)
     q = jnp.asarray(rng.normal(size=(T, nq, d)), jnp.float32)
     k = jnp.asarray(rng.normal(size=(nkv, S, d)), jnp.float32)
     v = jnp.asarray(rng.normal(size=(nkv, S, d)), jnp.float32)
+    kt = jnp.asarray(rng.normal(size=(T, nkv, d)), jnp.float32)
+    vt = jnp.asarray(rng.normal(size=(T, nkv, d)), jnp.float32)
     tm = jnp.asarray(_rand_tree_mask(T, rng))
-    st = jnp.int32(start)
+    return q, k, v, kt, vt, tm
 
-    ref = pallas_attn.tree_attention_xla(q, k, v, tm, st)
-    out = pallas_attn.tree_attention(q, k, v, tm, st, blk=128, interpret=True)
+
+@pytest.mark.parametrize("T,nq,nkv,d,S,start", [
+    (16, 4, 2, 8, 128, 37),
+    (61, 8, 4, 64, 512, 0),
+    (61, 8, 8, 64, 512, 500),
+    (26, 4, 4, 32, 256, 100),
+])
+def test_tree_attention_matches_xla(T, nq, nkv, d, S, start):
+    q, k, v, kt, vt, tm = _setup(T, nq, nkv, d, S)
+    st = jnp.int32(start)
+    ref = pallas_attn.tree_attention_xla(q, k, v, kt, vt, tm, st)
+    out = pallas_attn.tree_attention(q, k, v, kt, vt, tm, st, blk=128,
+                                     interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
 
 
 def test_tree_attention_xla_matches_transformer_attention():
-    """The standalone XLA reference must agree with the in-model attention
-    (same masks, batched layout)."""
+    """The split prefix+tree formulation must agree with the in-model dense
+    attention over a cache that has the tree rows written at `start`."""
     from eagle_tpu.models.transformer import attention
     from eagle_tpu.ops.masks import tree_mask_full
 
     rng = np.random.default_rng(1)
     T, nq, nkv, d, S, start = 13, 4, 2, 16, 64, 21
-    q = jnp.asarray(rng.normal(size=(1, T, nq, d)), jnp.float32)
-    k = jnp.asarray(rng.normal(size=(1, nkv, S, d)), jnp.float32)
-    v = jnp.asarray(rng.normal(size=(1, nkv, S, d)), jnp.float32)
-    tm = jnp.asarray(_rand_tree_mask(T, rng))
+    q, k, v, kt, vt, tm = _setup(T, nq, nkv, d, S, seed=1)
+    # write the tree K/V into the cache at [start, start+T) (dense layout)
+    kc = k.at[:, start:start + T, :].set(jnp.swapaxes(kt, 0, 1))
+    vc = v.at[:, start:start + T, :].set(jnp.swapaxes(vt, 0, 1))
     mask = tree_mask_full(tm[None], S, jnp.asarray([start], jnp.int32))
-    ref = attention(q, k, v, mask)[0]
-    out = pallas_attn.tree_attention_xla(q[0], k[0], v[0], tm,
+    ref = attention(q[None], kc[None], vc[None], mask)[0]
+    out = pallas_attn.tree_attention_xla(q, k, v, kt, vt, tm,
                                          jnp.int32(start))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
