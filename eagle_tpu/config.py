@@ -95,6 +95,11 @@ class ModelConfig:
 
     # activations dtype; params dtype chosen at load time
     dtype: Any = jnp.bfloat16
+    # attention implementation for tree verification:
+    #   "xla"          — dense-mask attention (default, portable)
+    #   "pallas_tree"  — fused flash-style Pallas kernel (ops/pallas_attn.py);
+    #                    interpreted automatically off-TPU
+    attn_impl: str = "xla"
 
     @property
     def q_dim(self) -> int:

@@ -26,7 +26,7 @@ from ..config import DraftConfig, EngineConfig, ModelConfig
 from ..models import draft as draft_mod
 from ..models import transformer
 from ..ops.kv_cache import KVCache, compact_accepted, init_cache, with_length
-from ..ops.masks import prefill_mask, tree_mask_full
+from ..ops.masks import TreeMaskSpec, prefill_mask, tree_mask_full
 from ..ops.tree import Tree
 from . import accept as accept_mod
 from .drafter import draft_round
@@ -136,7 +136,8 @@ class EagleEngine:
 
     def init_caches(self) -> tuple[KVCache, KVCache]:
         e, c, d = self.ecfg, self.cfg, self.dcfg
-        tgt_len = e.max_len + e.tree_size
+        # round up so the Pallas kernel's KV-block grid divides evenly
+        tgt_len = -(-(e.max_len + e.tree_size) // 512) * 512
         # draft scratch: beam rows (dynamic) or tree rows (static) +
         # extension-window padding
         scratch = (e.tree_size if self.static_spec is not None
@@ -195,8 +196,11 @@ class EagleEngine:
         S = state.cache.max_len
         Lc = state.length
 
-        # --- target tree verification (utils.py:306-335)
-        vmask = tree_mask_full(tree.mask[None], S, state.cache.length)
+        # --- target tree verification (utils.py:306-335); the mask goes in
+        # as metadata — the model expands it (XLA) or feeds the Pallas
+        # kernel (cfg.attn_impl == "pallas_tree")
+        vmask = TreeMaskSpec(tree_mask=tree.mask[None],
+                             start=state.cache.length)
         pos = (Lc + tree.positions)[None]
         res = transformer.forward(params, self.cfg, tree.tokens[None],
                                   state.cache, pos, vmask)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig
 from ..ops.kv_cache import KVCache, update_layer
+from ..ops.masks import TreeMaskSpec, tree_mask_full
 from .rope import apply_rope, rope_tables
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
@@ -119,7 +120,23 @@ def _layer(h: jnp.ndarray, lp: dict, cfg: ModelConfig,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     k_cache, v_cache = update_layer(k_cache, v_cache, k, v, start)
-    attn_out = attention(q, k_cache, v_cache, mask)
+    if isinstance(mask, TreeMaskSpec):
+        if cfg.attn_impl == "pallas_tree":
+            import jax as _jax
+
+            from ..ops.pallas_attn import tree_attention
+
+            interp = _jax.default_backend() != "tpu"
+            attn_out = jax.vmap(
+                lambda qb, kc, vc, kb, vb, tm, st: tree_attention(
+                    qb, kc, vc, kb, vb, tm, st, interpret=interp)
+            )(q, k_cache, v_cache, k, v, mask.tree_mask, mask.start)
+        else:
+            dense = tree_mask_full(mask.tree_mask, k_cache.shape[2],
+                                   mask.start)
+            attn_out = attention(q, k_cache, v_cache, dense)
+    else:
+        attn_out = attention(q, k_cache, v_cache, mask)
     h = h + _dense(attn_out, lp["wo"])
     x = rms_norm(h, lp["ln2"], cfg.rms_eps)
     mlp_out = _mlp_moe(x, lp, cfg) if cfg.num_experts > 0 else _mlp_dense(x, lp)

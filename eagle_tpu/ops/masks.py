@@ -9,8 +9,19 @@ helpers from lengths + tree structure. All shapes static; offsets dynamic.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
+
+
+class TreeMaskSpec(NamedTuple):
+    """Structured tree-attention mask: metadata instead of a dense [B,T,S]
+    array. Consumed by models.transformer._layer — either expanded to the
+    dense mask (XLA path) or passed to the Pallas kernel as-is."""
+
+    tree_mask: jnp.ndarray  # [B, T, T] ancestor-or-self
+    start: jnp.ndarray      # [B] committed prefix length
 
 
 def prefill_mask(T: int, S: int, start: jnp.ndarray) -> jnp.ndarray:

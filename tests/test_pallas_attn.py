@@ -63,3 +63,21 @@ def test_tree_attention_xla_matches_transformer_attention():
                                          jnp.int32(start))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_engine_greedy_with_pallas_attention():
+    """End-to-end greedy bit-exactness with the Pallas verify kernel
+    (interpret mode on CPU; compiled on TPU)."""
+    import dataclasses
+
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_engine_greedy import PROMPT, make_engine
+    from eagle_tpu.engine.engine import EagleEngine
+
+    eng0 = make_engine(1)
+    ref = eng0.generate_vanilla(PROMPT, max_new_tokens=24)
+    cfg_p = dataclasses.replace(eng0.cfg, attn_impl="pallas_tree")
+    eng = EagleEngine(eng0.params, cfg_p, eng0.dparams, eng0.dcfg, eng0.ecfg)
+    out = eng.generate(PROMPT, max_new_tokens=24)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
