@@ -134,10 +134,16 @@ class EagleEngine:
         return draft_round(dparams, self.dcfg, self.ecfg, ext_tokens,
                            ext_feats, n_new, dcache, self._lm_head_w)
 
+    def _tgt_len(self) -> int:
+        """KV rows for the target cache: max_len + tree scratch, rounded
+        up so the Pallas kernel's KV-block grid divides evenly (the kernel
+        adapts its block size down to 128)."""
+        e = self.ecfg
+        return -(-(e.max_len + e.tree_size) // 128) * 128
+
     def init_caches(self) -> tuple[KVCache, KVCache]:
         e, c, d = self.ecfg, self.cfg, self.dcfg
-        # round up so the Pallas kernel's KV-block grid divides evenly
-        tgt_len = -(-(e.max_len + e.tree_size) // 512) * 512
+        tgt_len = self._tgt_len()
         # draft scratch: beam rows (dynamic) or tree rows (static) +
         # extension-window padding
         scratch = (e.tree_size if self.static_spec is not None
@@ -584,8 +590,8 @@ class EagleEngine:
         padded = np.zeros((1, Tp), np.int32)
         padded[0, :Lp] = prompt
         e, c = self.ecfg, self.cfg
-        cache = init_cache(c.num_layers, 1, c.num_kv_heads,
-                           e.max_len + e.tree_size, c.head_dim, dtype=c.dtype)
+        cache = init_cache(c.num_layers, 1, c.num_kv_heads, self._tgt_len(),
+                           c.head_dim, dtype=c.dtype)
         key = jax.random.PRNGKey(seed)
 
         prefill = self._vanilla_prefill_jit.get(Tp)

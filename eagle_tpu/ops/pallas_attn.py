@@ -95,7 +95,10 @@ def tree_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     T0, nq, d = q.shape
     n_kv, S, _ = k_cache.shape
     g = nq // n_kv
-    blk = min(blk, S)
+    for cand in (blk, 512, 256, 128, 64, 32):
+        if S % cand == 0 and cand <= S:
+            blk = cand
+            break
     assert S % blk == 0, (S, blk)
     scale = d ** -0.5
     # pad T to a multiple of 8 for clean VMEM tiling; padded rows are fully

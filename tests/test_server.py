@@ -1,0 +1,64 @@
+"""Continuous-batching server: staggered request admission must reproduce
+single-request outputs bit-exactly (greedy), with slot reuse."""
+
+import numpy as np
+
+from eagle_tpu.engine.engine import EagleEngine
+from eagle_tpu.engine.server import EagleServer
+
+from test_engine_greedy import make_engine
+
+
+def _mk(eos=None):
+    eng0 = make_engine(1)
+    if eos is None:
+        return eng0, eng0
+    eng = EagleEngine(eng0.params, eng0.cfg, eng0.dparams, eng0.dcfg,
+                      eng0.ecfg, eos_token_id=eos)
+    return eng0, eng
+
+
+def test_server_staggered_admission_bit_exact():
+    eng0, _ = _mk()
+    prompts = [
+        np.array([5, 17, 92, 3], np.int32),
+        np.array([7, 1], np.int32),
+        np.array([44, 8, 21, 9], np.int32),
+        np.array([2, 9, 6], np.int32),
+    ]
+    budgets = [18, 25, 11, 21]
+    singles = [eng0.generate(p, max_new_tokens=b)
+               for p, b in zip(prompts, budgets)]
+
+    srv = EagleServer(eng0, max_batch=2)  # 4 requests through 2 slots
+    r0 = srv.submit(prompts[0], budgets[0])
+    r1 = srv.submit(prompts[1], budgets[1])
+    srv.step()
+    srv.step()
+    r2 = srv.submit(prompts[2], budgets[2])  # queued mid-flight
+    srv.step()
+    r3 = srv.submit(prompts[3], budgets[3])
+    outs = srv.run()
+    assert set(outs) == {r0, r1, r2, r3}
+    for rid, ref in zip([r0, r1, r2, r3], singles):
+        np.testing.assert_array_equal(outs[rid], ref)
+
+
+def test_server_eos_and_streaming():
+    eng0 = make_engine(1)
+    p = np.array([5, 17, 92, 3], np.int32)
+    ref = eng0.generate_vanilla(p, max_new_tokens=30)
+    eos = int(ref[len(p) + 8])
+    _, eng = _mk(eos)
+    srv = EagleServer(eng, max_batch=2)
+    rid = srv.submit(p, 30)
+    streamed = []
+    while rid not in srv.finished:
+        got = srv.step()
+        if rid in got:
+            streamed.extend(got[rid])
+    exp = eng0.generate_vanilla(p, max_new_tokens=30, eos_token_id=eos)
+    np.testing.assert_array_equal(srv.finished[rid], exp)
+    # streamed tokens = completion portion of the final output
+    np.testing.assert_array_equal(
+        np.asarray(streamed), srv.finished[rid][len(p):])
