@@ -50,3 +50,53 @@ def test_engine_first_token_marginal():
     t = int(p.argmax())
     sigma = np.sqrt(p[t] * (1 - p[t]) / n)
     assert abs(emp[t] - p[t]) < 5 * sigma + 0.02
+
+
+def test_engine_second_token_conditional():
+    """Full-pipeline conditional check: among generations whose first token
+    is the modal one, the second token must follow the model's true
+    conditional (testbug/vis.py per-position histogram analog)."""
+    eng0 = make_engine(1, temperature=1.0, seed=5)
+    # sharpen the head so conditionals are concentrated enough to test
+    params = dict(eng0.params)
+    params["lm_head"] = params["lm_head"] * 8.0
+    from eagle_tpu.engine.engine import EagleEngine
+    eng = EagleEngine(params, eng0.cfg, eng0.dparams, eng0.dcfg, eng0.ecfg)
+    cfg, e = eng.cfg, eng.ecfg
+    n = 500
+    seqs = np.stack([
+        eng.generate(PROMPT, max_new_tokens=2, seed=2000 + i)[len(PROMPT):]
+        for i in range(n)
+    ])
+    # exact conditionals via direct forwards
+    cache = init_cache(cfg.num_layers, 1, cfg.num_kv_heads, 64, cfg.head_dim,
+                       dtype=cfg.dtype)
+    T = len(PROMPT)
+    res = transformer.forward(
+        eng.params, cfg, jnp.asarray(PROMPT)[None], cache,
+        jnp.arange(T, dtype=jnp.int32)[None], prefill_mask(T, 64, cache.length))
+    logits = transformer.lm_head(eng.params, cfg, res.hidden[0, T - 1])
+    p1 = np.asarray(jax.nn.softmax(process_logits(logits, e.temperature)))
+    # condition on the most frequent OBSERVED first token (selection is
+    # independent of position-2 values, so the conditional is unbiased)
+    t1 = int(np.bincount(seqs[:, 0], minlength=cfg.vocab_size).argmax())
+    sel = seqs[:, 0] == t1
+    assert sel.sum() >= 30  # concentrated head → modal token is frequent
+    # marginal of t1 must match too
+    sigma1 = np.sqrt(p1[t1] * (1 - p1[t1]) / n)
+    assert abs(sel.mean() - p1[t1]) < 5 * sigma1 + 0.03
+
+    ext = np.concatenate([PROMPT, [t1]])
+    T2 = len(ext)
+    cache = init_cache(cfg.num_layers, 1, cfg.num_kv_heads, 64, cfg.head_dim,
+                       dtype=cfg.dtype)
+    res2 = transformer.forward(
+        eng.params, cfg, jnp.asarray(ext)[None], cache,
+        jnp.arange(T2, dtype=jnp.int32)[None],
+        prefill_mask(T2, 64, cache.length))
+    logits2 = transformer.lm_head(eng.params, cfg, res2.hidden[0, T2 - 1])
+    p2 = np.asarray(jax.nn.softmax(process_logits(logits2, e.temperature)))
+    t2 = int(p2.argmax())
+    emp = (seqs[sel, 1] == t2).mean()
+    sigma = np.sqrt(p2[t2] * (1 - p2[t2]) / sel.sum())
+    assert abs(emp - p2[t2]) < 5 * sigma + 0.03, (emp, p2[t2], sel.sum())

@@ -120,3 +120,39 @@ def test_train_step_dp_tp():
         lambda a, b: float(jnp.max(jnp.abs(a - b))),
         dparams2["fc"], dparams_s["fc"])
     assert max(jax.tree.leaves(delta)) > 0
+
+
+def test_mixtral_ep_forward_matches_unsharded():
+    """Mixtral MoE under expert-parallel sharding (experts over "model")
+    must reproduce the unsharded logits."""
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_q_heads=8, num_kv_heads=4, head_dim=8, num_experts=8,
+        experts_per_token=2, dtype=jnp.float32,
+    )
+    params = transformer.init_params(cfg, jax.random.PRNGKey(7))
+    T, S = 10, 64
+    tokens = jnp.asarray(np.random.default_rng(3).integers(
+        0, cfg.vocab_size, size=(1, T)), jnp.int32)
+    pos = jnp.arange(T, dtype=jnp.int32)[None]
+
+    def run(params, cache):
+        mask = prefill_mask(T, S, cache.length)
+        res = transformer.forward(params, cfg, tokens, cache, pos, mask)
+        return transformer.lm_head(params, cfg, res.hidden)
+
+    cache = init_cache(cfg.num_layers, 1, cfg.num_kv_heads, S, cfg.head_dim,
+                       dtype=jnp.float32)
+    ref = run(params, cache)
+
+    mesh = shd.make_mesh(n_data=2, n_model=4)
+    params_s = shd.shard_params(params, mesh, shd.target_param_specs(cfg))
+    cache_s = jax.device_put(
+        init_cache(cfg.num_layers, 1, cfg.num_kv_heads, S, cfg.head_dim,
+                   dtype=jnp.float32),
+        jax.tree.map(lambda s: NamedSharding(mesh, s),
+                     shd.kv_cache_specs(shard_batch=False)))
+    with jax.set_mesh(mesh):
+        out = jax.jit(run)(params_s, cache_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
