@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ..config import DraftConfig, EngineConfig
 from ..models import draft as draft_mod
-from ..ops.kv_cache import KVCache, with_length
+from ..ops.kv_cache import KVCache
 from ..ops.masks import prefill_mask
 from ..ops.tree import Tree, build_tree
 

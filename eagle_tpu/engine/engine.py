@@ -23,10 +23,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DraftConfig, EngineConfig, ModelConfig
-from ..models import draft as draft_mod
 from ..models import transformer
 from ..ops.kv_cache import KVCache, compact_accepted, init_cache, with_length
-from ..ops.masks import TreeMaskSpec, prefill_mask, tree_mask_full
+from ..ops.masks import TreeMaskSpec, prefill_mask
 from ..ops.tree import Tree
 from . import accept as accept_mod
 from .drafter import draft_round

@@ -28,7 +28,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import DraftConfig, ModelConfig
+from ..config import ModelConfig
 
 
 def make_mesh(n_data: int = 1, n_model: Optional[int] = None,

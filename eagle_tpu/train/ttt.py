@@ -24,7 +24,7 @@ matching traineagle3/ds_config.json:18-31.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
