@@ -1,0 +1,112 @@
+"""Self-contained demo of the full framework on a tiny random model.
+
+Runs anywhere (CPU or TPU):
+  python examples/demo.py
+
+1. Builds a tiny llama-style target + EAGLE-3 draft head.
+2. Distills the draft on the target's own generations (TTT trainer).
+3. Compares vanilla decoding vs speculative decoding (greedy must match
+   bit-for-bit) and prints τ / per-round acceptance.
+4. Shows sampled generation, batched generation, and the continuous-batching
+   server.
+For real checkpoints, see EagleEngine.from_pretrained in the README.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from eagle_tpu.config import DraftConfig, EngineConfig, ModelConfig
+from eagle_tpu.engine.engine import EagleEngine
+from eagle_tpu.engine.server import EagleServer
+from eagle_tpu.models import draft as draft_mod
+from eagle_tpu.models import transformer
+from eagle_tpu.train import ttt
+
+
+def main():
+    H = 64
+    cfg = ModelConfig(vocab_size=512, hidden_size=H, intermediate_size=128,
+                      num_layers=4, num_q_heads=4, num_kv_heads=2,
+                      head_dim=16, dtype=jnp.float32)
+    dcfg = DraftConfig(version=3, hidden_size=H, intermediate_size=128,
+                       num_q_heads=4, num_kv_heads=2, head_dim=16,
+                       vocab_size=512, target_hidden_size=H,
+                       dtype=jnp.float32)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = transformer.init_params(cfg, k1)
+    params["lm_head"] = params["lm_head"] * 8.0   # peaked, LLM-like
+    dparams = draft_mod.init_params(dcfg, k2)
+    dparams["embed"]["w"] = params["embed"]["w"]
+    ecfg = EngineConfig(total_tokens=23, depth=4, top_k=5, max_len=512)
+    eng = EagleEngine(params, cfg, dparams, dcfg, ecfg)
+
+    print("== distilling draft head on target self-generations ...")
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, cfg.vocab_size, size=(4,)) for _ in range(8)]
+    corpus = np.stack([
+        eng.generate_vanilla(p, max_new_tokens=44)[:48] for p in prompts
+    ]).astype(np.int32)
+    tcfg = ttt.TrainConfig(length=4, lr=1e-2, warmup_steps=10,
+                           total_steps=2000)
+    opt = ttt.make_optimizer(tcfg)
+    trainable, _ = ttt.partition_trainable(dparams)
+    opt_state = opt.init(trainable)
+    batch = {"input_ids": jnp.asarray(corpus),
+             "loss_mask": jnp.ones(corpus.shape, jnp.float32),
+             "pad_mask": jnp.ones(corpus.shape, bool)}
+    step = jax.jit(lambda dp, os_, tp, b: ttt.train_step(
+        dp, os_, tp, cfg, dcfg, tcfg, opt, b))
+    for i in range(250):
+        dparams, opt_state, m = step(dparams, opt_state, params, batch)
+    print(f"   per-step draft accuracy: {np.round(np.asarray(m.accs), 3)}")
+    eng = EagleEngine(params, cfg, dparams, dcfg, ecfg)
+
+    prompt = corpus[0, :6]
+    print("\n== greedy: speculative vs vanilla (must match bit-for-bit)")
+    t0 = time.time()
+    ref = eng.generate_vanilla(prompt, max_new_tokens=40)
+    t_v = time.time() - t0
+    t0 = time.time()
+    out, ntok, rounds = eng.generate(prompt, max_new_tokens=40, log=True)
+    t_e = time.time() - t0
+    assert np.array_equal(out[: len(ref)], ref[: len(out)]), "MISMATCH!"
+    print(f"   match ✓  τ = {ntok / rounds:.2f} tokens/round "
+          f"({rounds} rounds for {ntok} tokens)")
+    print(f"   wall: vanilla {t_v*1e3:.0f}ms, eagle {t_e*1e3:.0f}ms "
+          f"(tiny-model timings are dispatch-bound; see bench.py for real "
+          f"hardware numbers)")
+
+    print("\n== sampled generation (temperature 0.8, lossless)")
+    ecfg_s = EngineConfig(total_tokens=23, depth=4, top_k=5, max_len=512,
+                          temperature=0.8)
+    eng_s = EagleEngine(params, cfg, dparams, dcfg, ecfg_s)
+    for seed in (1, 2):
+        o = eng_s.generate(prompt, max_new_tokens=12, seed=seed)
+        print(f"   seed {seed}: {o[len(prompt):]}")
+
+    print("\n== batched generation (one dispatch, per-sequence finish)")
+    outs = eng.generate_batch_fused([corpus[0, :6], corpus[1, :4]],
+                                    max_new_tokens=16)
+    for i, o in enumerate(outs):
+        print(f"   seq {i}: {len(o)} tokens")
+
+    print("\n== continuous-batching server (staggered requests)")
+    srv = EagleServer(eng, max_batch=2)
+    r0 = srv.submit(corpus[0, :6], 12)
+    srv.step()
+    r1 = srv.submit(corpus[2, :6], 12)
+    done = srv.run()
+    print(f"   finished: { {k: len(v) for k, v in done.items()} }")
+    print("\nAll demo stages OK.")
+
+
+if __name__ == "__main__":
+    main()

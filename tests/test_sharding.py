@@ -156,3 +156,22 @@ def test_mixtral_ep_forward_matches_unsharded():
         out = jax.jit(run)(params_s, cache_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_generation_runs_sharded():
+    """generate_fused (prefill + while_loop rounds) under full TP."""
+    cfg = tp_cfg()
+    dcfg = tiny_dcfg(3)
+    params = transformer.init_params(cfg, jax.random.PRNGKey(9))
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(10))
+    ecfg = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256)
+    eng_ref = EagleEngine(params, cfg, dparams, dcfg, ecfg)
+    ref = eng_ref.generate_vanilla(PROMPT, max_new_tokens=16)
+
+    mesh = shd.make_mesh(n_data=1, n_model=8)
+    params_s = shd.shard_params(params, mesh, shd.target_param_specs(cfg))
+    dparams_s = shd.replicate(dparams, mesh)
+    eng = EagleEngine(params_s, cfg, dparams_s, dcfg, ecfg)
+    with jax.set_mesh(mesh):
+        out = eng.generate_fused(PROMPT, max_new_tokens=16)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
