@@ -104,3 +104,35 @@ def test_fused_generation_matches_host_loop():
     a = eng.generate_vanilla(PROMPT, max_new_tokens=40, eos_token_id=eos)
     b = eng2.generate_fused(PROMPT, max_new_tokens=40)
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("variant", ["qwen2", "qwen3", "mixtral", "llama31"])
+def test_greedy_matches_vanilla_all_architectures(variant):
+    """Engine bit-exactness across every backend variant the model zoo
+    supports (the reference forks a modeling file per architecture)."""
+    from eagle_tpu.config import ModelConfig, RopeConfig
+    from eagle_tpu.models import transformer as tr
+
+    kw = dict(vocab_size=128, hidden_size=32, intermediate_size=64,
+              num_layers=4, num_q_heads=4, num_kv_heads=2, head_dim=8,
+              dtype=jnp.float32)
+    if variant == "qwen2":
+        kw["attn_qkv_bias"] = True
+    elif variant == "qwen3":
+        kw["qk_norm"] = True
+    elif variant == "mixtral":
+        kw.update(num_experts=4, experts_per_token=2)
+    elif variant == "llama31":
+        kw["rope"] = RopeConfig(theta=500000.0, scaling_type="llama3",
+                                scaling_factor=8.0,
+                                original_max_position=64)
+    cfg = ModelConfig(**kw)
+    dcfg = tiny_dcfg(3)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    params = tr.init_params(cfg, k1)
+    dparams = draft_mod.init_params(dcfg, k2)
+    ecfg = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256)
+    eng = EagleEngine(params, cfg, dparams, dcfg, ecfg)
+    ref = eng.generate_vanilla(PROMPT, max_new_tokens=24)
+    out = eng.generate(PROMPT, max_new_tokens=24)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
