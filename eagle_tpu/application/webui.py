@@ -112,19 +112,21 @@ class ChatBackend:
                         "done": False,
                     }
             else:
-                out = self.engine.generate_vanilla(
-                    ids, max_new_tokens=max_new_tokens,
-                    eos_token_id=self.eos_token_id)
-                dt = time.time() - t0
-                n = len(out) - len(ids)
-                yield {
-                    "new_text": self.decode(out[len(ids):]),
-                    "text": self.decode(out[len(ids):]),
-                    "highlight": 0,
-                    "tokens_per_s": n / max(dt, 1e-6),
-                    "compression_ratio": 1.0,
-                    "done": False,
-                }
+                prev = len(ids)
+                for all_ids, st in self.engine.generate_vanilla_stream(
+                        ids, max_new_tokens=max_new_tokens,
+                        eos_token_id=self.eos_token_id):
+                    chunk = all_ids[prev:]
+                    prev = len(all_ids)
+                    dt = time.time() - t0
+                    yield {
+                        "new_text": self.decode(chunk),
+                        "text": self.decode(all_ids[len(ids):]),
+                        "highlight": 0,
+                        "tokens_per_s": st["new_tokens"] / max(dt, 1e-6),
+                        "compression_ratio": 1.0,
+                        "done": False,
+                    }
         yield {"done": True}
 
 

@@ -580,6 +580,39 @@ class EagleEngine:
             body, (cache, token, key), None, length=n_steps)
         return toks
 
+    def generate_vanilla_stream(self, prompt_ids, max_new_tokens: int = 512,
+                                eos_token_id: Optional[int] = None,
+                                seed: int = 0):
+        """Streaming vanilla decoding (naive_generate, ea_model.py:486-558
+        analog): yields (all_ids_so_far, stats) per token."""
+        prompt = np.asarray(prompt_ids, np.int32).reshape(1, -1)
+        Lp = prompt.shape[1]
+        Tp = _bucket(Lp)
+        padded = np.zeros((1, Tp), np.int32)
+        padded[0, :Lp] = prompt
+        e, c = self.ecfg, self.cfg
+        cache = init_cache(c.num_layers, 1, c.num_kv_heads, self._tgt_len(),
+                           c.head_dim, dtype=c.dtype)
+        key = jax.random.PRNGKey(seed)
+        prefill = self._vanilla_prefill_jit.get(Tp)
+        if prefill is None:
+            prefill = jax.jit(self._vanilla_prefill, donate_argnums=(3,))
+            self._vanilla_prefill_jit[Tp] = prefill
+        cache, token, key = prefill(self.params, jnp.asarray(padded),
+                                    jnp.int32(Lp), cache, key)
+        out = list(prompt[0])
+        for n in range(max_new_tokens):
+            t = int(token)
+            out.append(t)
+            yield np.asarray(out), {"new_tokens": n + 1, "rounds": n + 1,
+                                    "accept_len": 0}
+            if eos_token_id is not None and t == eos_token_id:
+                break
+            if len(out) + 1 >= e.max_len:
+                break
+            cache, token, key = self._vanilla_step_jit(self.params, cache,
+                                                       token, key)
+
     def generate_vanilla(self, prompt_ids, max_new_tokens: int = 512,
                          eos_token_id: Optional[int] = None, seed: int = 0,
                          fused: bool = False):
