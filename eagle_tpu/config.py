@@ -246,6 +246,10 @@ class EngineConfig:
     #   "unit_q"  — the reference main-path simplification q(x)=1
     #               (utils.py:398-399)
     acceptance: str = "true_q"
+    # draft-head weight quantization: "none" | "int8" (ops/quant.py). The
+    # draft only proposes; quantizing it can lower τ but never changes the
+    # output distribution.
+    draft_quant: str = "none"
     temperature: float = 0.0
     top_p: float = 0.0
     sampling_top_k: int = 0

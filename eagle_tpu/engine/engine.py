@@ -62,6 +62,9 @@ class EagleEngine:
                  eos_token_id: Optional[int] = None):
         self.params, self.cfg = params, cfg
         self.eos_token_id = eos_token_id  # device-side finish detection
+        if ecfg.draft_quant == "int8":
+            from ..ops.quant import quantize_draft_params
+            dparams = quantize_draft_params(dparams)
         self.dparams, self.dcfg = dparams, dcfg
         self.ecfg = ecfg
         if ecfg.tree_paths is not None:

@@ -117,6 +117,8 @@ def draft_logits(params: dict, cfg: DraftConfig, hidden: jnp.ndarray,
         return jnp.dot(hidden, target_lm_head.astype(hidden.dtype),
                        preferred_element_type=jnp.float32)
     h = rms_norm(hidden, params["norm"], cfg.rms_eps)
+    if isinstance(params["lm_head"], dict):  # int8 (ops/quant.py)
+        return _dense(h, params["lm_head"]).astype(jnp.float32)
     return jnp.dot(h, params["lm_head"].astype(h.dtype),
                    preferred_element_type=jnp.float32)
 

@@ -42,7 +42,11 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (xf.astype(dtype) * weight.astype(dtype)).astype(dtype)
 
 
-def _dense(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+def _dense(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    if isinstance(w, dict):  # int8 weight-only quantization (ops/quant.py)
+        from ..ops.quant import qdense
+
+        return qdense(x, w, b)
     y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)

@@ -1,0 +1,79 @@
+"""Weight-only int8 quantization for the draft head.
+
+The draft runs 7-8 small sequential forwards per decode round; at 1B-class
+scale its weight streaming (~2ms) is a large share of the ~5ms round. int8
+weights halve those HBM reads. Activations are quantized dynamically
+per-row so the matmul runs on the int8 MXU path (int32 accumulation), then
+rescaled — otherwise XLA would materialize a dequantized bf16 copy and the
+bandwidth win would vanish.
+
+Correctness note: quantizing the DRAFT never breaks losslessness — the
+acceptance rule only commits tokens the TARGET verifies (greedy: argmax
+match; sampled: rejection against target probabilities). A worse draft can
+only lower τ, never change the output distribution. Enforced by
+tests/test_quant.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_linear(w: jnp.ndarray) -> dict:
+    """[in, out] weight → {"q8": int8 [in,out], "scale": f32 [out]}
+    (symmetric per-output-channel)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"q8": q, "scale": scale}
+
+
+def qdense(x: jnp.ndarray, qw: dict,
+           b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """x [.., in] @ int8 weights → [.., out] in x.dtype.
+
+    Dynamic symmetric per-row activation quantization; int8×int8 matmul with
+    int32 accumulation on the MXU; output rescaled by (row_scale ⊗
+    col_scale)."""
+    shape = x.shape
+    xf = x.reshape(-1, shape[-1]).astype(jnp.float32)
+    xmax = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-12)
+    sx = xmax / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, qw["q8"], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * qw["scale"][None, :]
+    y = y.astype(x.dtype).reshape(shape[:-1] + (qw["q8"].shape[1],))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_draft_params(dparams: dict) -> dict:
+    """Quantize every large 2-D matrix of a draft-head param tree (layers'
+    projections + fc + lm_head); embeddings, norms and vocab maps stay as-is
+    (embedding is a gather — no matmul bandwidth to save)."""
+    out = dict(dparams)
+    layers = []
+    for lp in dparams["layers"]:
+        nlp = dict(lp)
+        for k in _QUANT_KEYS:
+            if k in nlp:
+                nlp[k] = quantize_linear(nlp[k])
+        layers.append(nlp)
+    out["layers"] = layers
+    if "fc" in out:
+        fc = dict(out["fc"])
+        fc["w"] = quantize_linear(fc["w"])
+        out["fc"] = fc
+    if "lm_head" in out:
+        out["lm_head"] = quantize_linear(out["lm_head"])
+    return out
