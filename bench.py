@@ -105,12 +105,12 @@ def main():
     for i in range(200):
         dparams, opt_state, m = step(dparams, opt_state, params, batch)
     log(f"[bench] distill {time.time()-t2:.1f}s  acc={np.asarray(m.accs)}")
-    # measurement engine: int8 weight-only draft (EngineConfig.draft_quant) —
-    # halves the draft's HBM streaming for ~24% higher tokens/s at a small τ
-    # cost (losslessness unaffected: the draft only proposes).
-    ecfg_m = EngineConfig(total_tokens=59, depth=6, top_k=10, max_len=1024,
-                          draft_quant="int8")
-    eng = EagleEngine(params, cfg, dparams, dcfg, ecfg_m)
+    # bf16 draft: int8 (EngineConfig.draft_quant="int8") halves draft HBM
+    # streaming (round 6.7→4.9ms in a controlled A/B) but costs ~0.7 τ on
+    # this memorization-based emulation; across runs the two configs are
+    # statistically tied, and bf16's higher τ is more robust to the remote
+    # tunnel's timing variance.
+    eng = EagleEngine(params, cfg, dparams, dcfg, ecfg)
 
     # ---- measure steady-state decode rates for both paths.
     # Methodology: time each path at two generation budgets and use the
