@@ -175,3 +175,117 @@ def tree_attention_xla(q, k_cache, v_cache, k_tree, v_tree, tree_mask, start):
                              vt.astype(jnp.float32)], axis=1)
     o = jnp.einsum("hgts,hsd->hgtd", p, v_all).astype(q.dtype)
     return o.transpose(2, 0, 1, 3).reshape(T, nq * d)
+
+
+# ---------------------------------------------------------------------------
+# In-place accepted-branch KV compaction (SURVEY §2.5 kernel #3)
+# ---------------------------------------------------------------------------
+
+def _compact_kernel(path_ref, start_ref, k_ref, v_ref, ok_ref, ov_ref,
+                    kw_scr, vw_scr, ko_scr, vo_scr, sems, *, T: int, P: int):
+    """Move tree rows `start + path[i]` → `start + i` for i < P, per layer.
+
+    Grid: (L,). k_ref/v_ref live in ANY/HBM and are aliased to the outputs,
+    so this is a true in-place row move. Mosaic requires 8-aligned DMA
+    offsets AND slice shapes on the sublane dim, so the staged window starts
+    at base = 8·⌊start/8⌋ and the row permutation (a one-hot matmul — an MXU
+    shuffle) also carries the first `start−base` rows through unchanged.
+    Data moved per round: L·(T+8+P+8) rows — independent of cache length S.
+    """
+    l = pl.program_id(0)
+    start = start_ref[0]
+    base = (start // 8) * 8
+    off = start - base                     # ∈ [0, 8)
+    n_kv = kw_scr.shape[0]
+    Tw = T + 8                             # staged window rows
+    Pw = P + 8                             # written rows
+
+    cp_in_k = pltpu.make_async_copy(
+        k_ref.at[l, 0, :, pl.ds(base, Tw), :], kw_scr, sems.at[0])
+    cp_in_v = pltpu.make_async_copy(
+        v_ref.at[l, 0, :, pl.ds(base, Tw), :], vw_scr, sems.at[1])
+    cp_in_k.start()
+    cp_in_v.start()
+
+    # selection matrix [Pw, Tw]: output row j takes window row
+    #   off + path[j - off]   for j ∈ [off, off+P)   (the accepted branch)
+    #   j                     otherwise              (carried through)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, Tw), 1)
+    rows = []
+    for j in range(Pw):
+        in_rng = (j >= off) & (j < off + P)
+        pidx = jnp.clip(j - off, 0, P - 1)
+        src = jnp.where(in_rng, off + path_ref[pidx], j)
+        rows.append((col == src).astype(jnp.float32))
+    onehot = jnp.concatenate(rows, axis=0)
+
+    cp_in_k.wait()
+    cp_in_v.wait()
+    for h in range(n_kv):
+        ko_scr[h] = jax.lax.dot_general(
+            onehot, kw_scr[h].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(ko_scr.dtype)
+        vo_scr[h] = jax.lax.dot_general(
+            onehot, vw_scr[h].astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(vo_scr.dtype)
+
+    cp_out_k = pltpu.make_async_copy(
+        ko_scr, ok_ref.at[l, 0, :, pl.ds(base, Pw), :], sems.at[0])
+    cp_out_v = pltpu.make_async_copy(
+        vo_scr, ov_ref.at[l, 0, :, pl.ds(base, Pw), :], sems.at[1])
+    cp_out_k.start()
+    cp_out_v.start()
+    cp_out_k.wait()
+    cp_out_v.wait()
+
+
+def compact_rows(k: jnp.ndarray, v: jnp.ndarray, path: jnp.ndarray,
+                 start: jnp.ndarray, tree_size: int,
+                 interpret: bool = False):
+    """In-place Pallas variant of ops.kv_cache.compact_accepted's row moves.
+
+    k/v: [L, 1, n_kv, S, d] (donated → truly in place); path: [P] node
+    indices within the [start, start+tree_size) window; start: scalar prefix
+    length. Returns the updated (k, v). Internally padded to Mosaic's
+    8-row alignment; pad rows land beyond the accepted length and are never
+    attended. Requires start + tree_size + 16 ≤ S.
+    """
+    L, B, n_kv, S, d = k.shape
+    if d % 128 != 0 and not interpret:
+        raise NotImplementedError(
+            "compact_rows needs head_dim % 128 == 0 for Mosaic lane-aligned "
+            "HBM DMAs; use ops.kv_cache.compact_accepted (XLA) otherwise")
+    P0 = path.shape[0]
+    P = -(-P0 // 8) * 8
+    T = -(-tree_size // 8) * 8
+    path = jnp.pad(path, (0, P - P0), mode="edge")
+    import functools as _ft
+    out = pl.pallas_call(
+        _ft.partial(_compact_kernel, T=T, P=P),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(L,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((n_kv, T + 8, d), k.dtype),
+                pltpu.VMEM((n_kv, T + 8, d), v.dtype),
+                pltpu.VMEM((n_kv, P + 8, d), k.dtype),
+                pltpu.VMEM((n_kv, P + 8, d), v.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        input_output_aliases={2: 0, 3: 1},  # tensor args after 2 scalars
+        interpret=interpret,
+    )(path.astype(jnp.int32), start.reshape(1).astype(jnp.int32), k, v)
+    return out[0], out[1]

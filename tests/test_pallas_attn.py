@@ -81,3 +81,28 @@ def test_engine_greedy_with_pallas_attention():
     eng = EagleEngine(eng0.params, cfg_p, eng0.dparams, eng0.dcfg, eng0.ecfg)
     out = eng.generate(PROMPT, max_new_tokens=24)
     np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+
+
+def test_compact_rows_matches_reference():
+    from eagle_tpu.ops.kv_cache import KVCache, compact_accepted
+
+    rng = np.random.default_rng(4)
+    L, n_kv, S, d, P, start = 3, 2, 64, 8, 5, 20
+    k = jnp.asarray(rng.normal(size=(L, 1, n_kv, S, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(L, 1, n_kv, S, d)), jnp.float32)
+    path = jnp.asarray([0, 3, 7, 12, 12], jnp.int32)
+    alen = jnp.asarray([4], jnp.int32)
+
+    cache = KVCache(k=k, v=v, length=jnp.asarray([start], jnp.int32))
+    ref = compact_accepted(cache, path[None], alen)
+    ok, ov = pallas_attn.compact_rows(k, v, path, jnp.int32(start),
+                                      tree_size=16, interpret=True)
+    # rows [start+P, start+Ppad) are pad scratch (beyond the accepted
+    # length — never attended); compare everything else exactly
+    Ppad = 8
+    for got, exp in ((ok, ref.k), (ov, ref.v)):
+        np.testing.assert_array_equal(np.asarray(got[..., :start + P, :]),
+                                      np.asarray(exp[..., :start + P, :]))
+        np.testing.assert_array_equal(
+            np.asarray(got[..., start + Ppad:, :]),
+            np.asarray(exp[..., start + Ppad:, :]))
