@@ -75,7 +75,7 @@ def _tree_attn_kernel(start_ref, q_ref, k_ref, v_ref, kt_ref, vt_ref, tm_ref,
 
     @pl.when(is_tree)
     def _():
-        tree_ok = jnp.repeat(tm_ref[:], g, axis=0)  # [gT, T], t-major rows
+        tree_ok = jnp.repeat(tm_ref[:], g, axis=0)  # [gT, Tk], t-major rows
         phase(kt_ref[0], vt_ref[0], tree_ok)
         o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(
             o_ref.dtype)
@@ -88,11 +88,13 @@ def tree_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
     """Fused tree-verify attention for one sequence.
 
     q: [T, nq, d]; k_cache/v_cache: [n_kv, S, d] committed-prefix KV (only
-    rows < start are attended); k_tree/v_tree: [T, n_kv, d] — the tree's own
-    freshly computed K/V; tree_mask: [T, T] bool ancestor-or-self;
+    rows < start are attended); k_tree/v_tree: [Tk, n_kv, d] — the tree's
+    own freshly computed K/V (Tk == T for verify; the draft beam step uses
+    Tk = slab width); tree_mask: [T, Tk] bool ancestor-or-self;
     start: scalar int32 prefix length. Returns [T, nq*d] in q.dtype.
     """
     T0, nq, d = q.shape
+    Tk0 = k_tree.shape[0]
     n_kv, S, _ = k_cache.shape
     g = nq // n_kv
     for cand in (blk, 512, 256, 128, 64, 32):
@@ -101,13 +103,14 @@ def tree_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
             break
     assert S % blk == 0, (S, blk)
     scale = d ** -0.5
-    # pad T to a multiple of 8 for clean VMEM tiling; padded rows are fully
-    # masked (all-False tree rows) and sliced off at the end
+    # pad T/Tk to multiples of 8 for clean VMEM tiling; padded rows/cols are
+    # fully masked and sliced off at the end
     T = -(-T0 // 8) * 8
+    Tk = -(-Tk0 // 8) * 8
     q = jnp.pad(q, ((0, T - T0), (0, 0), (0, 0)))
-    tree_mask = jnp.pad(tree_mask, ((0, T - T0), (0, T - T0)))
-    k_tree = jnp.pad(k_tree, ((0, T - T0), (0, 0), (0, 0)))
-    v_tree = jnp.pad(v_tree, ((0, T - T0), (0, 0), (0, 0)))
+    tree_mask = jnp.pad(tree_mask, ((0, T - T0), (0, Tk - Tk0)))
+    k_tree = jnp.pad(k_tree, ((0, Tk - Tk0), (0, 0), (0, 0)))
+    v_tree = jnp.pad(v_tree, ((0, Tk - Tk0), (0, 0), (0, 0)))
 
     # [T, nq, d] → [n_kv, T*g, d] with t-major (T, g) rows per kv head
     qh = q.reshape(T, n_kv, g, d).transpose(1, 0, 2, 3).reshape(n_kv, T * g, d)
@@ -131,9 +134,9 @@ def tree_attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
                 pl.BlockSpec(
                     (1, blk, d),
                     lambda h, j, *_: (h, jnp.minimum(j, n_blocks - 1), 0)),
-                pl.BlockSpec((1, T, d), lambda h, j, *_: (h, 0, 0)),
-                pl.BlockSpec((1, T, d), lambda h, j, *_: (h, 0, 0)),
-                pl.BlockSpec((T, T), lambda h, j, *_: (0, 0)),
+                pl.BlockSpec((1, Tk, d), lambda h, j, *_: (h, 0, 0)),
+                pl.BlockSpec((1, Tk, d), lambda h, j, *_: (h, 0, 0)),
+                pl.BlockSpec((T, Tk), lambda h, j, *_: (0, 0)),
             ],
             out_specs=pl.BlockSpec((1, g * T, d), lambda h, j, *_: (h, 0, 0)),
             scratch_shapes=[

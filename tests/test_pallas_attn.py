@@ -106,3 +106,23 @@ def test_compact_rows_matches_reference():
         np.testing.assert_array_equal(
             np.asarray(got[..., start + Ppad:, :]),
             np.asarray(exp[..., start + Ppad:, :]))
+
+
+def test_tree_attention_nonsquare_mask_draft_beam_shape():
+    """The kernel also covers the draft beam-step shape: k queries vs a
+    depth·k ancestor slab (mask [k, slab]) + committed prefix."""
+    rng = np.random.default_rng(5)
+    Tq, slab, nq, nkv, d, S, start = 10, 40, 4, 2, 16, 128, 77
+    q = jnp.asarray(rng.normal(size=(Tq, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(nkv, S, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(nkv, S, d)), jnp.float32)
+    kt = jnp.asarray(rng.normal(size=(slab, nkv, d)), jnp.float32)
+    vt = jnp.asarray(rng.normal(size=(slab, nkv, d)), jnp.float32)
+    tm = jnp.asarray(rng.random((Tq, slab)) < 0.3)
+    tm = tm.at[:, 0].set(True)  # every row attends something
+    st = jnp.int32(start)
+    ref = pallas_attn.tree_attention_xla(q, k, v, kt, vt, tm, st)
+    out = pallas_attn.tree_attention(q, k, v, kt, vt, tm, st, blk=64,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
