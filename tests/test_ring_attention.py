@@ -1,0 +1,88 @@
+"""Ring attention (sequence-parallel prefill) vs dense single-device
+reference on the 8-device CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from eagle_tpu.parallel import sharding as shd
+from eagle_tpu.parallel.ring_attention import ring_self_attention
+
+
+def _dense_causal(q, k, v):
+    B, T, nq, d = q.shape
+    if k.shape[2] != nq:
+        rep = nq // k.shape[2]
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    s = jnp.einsum("bthd,bshd->bhts", q, k,
+                   preferred_element_type=jnp.float32) * (q.shape[-1] ** -0.5)
+    mask = jnp.tril(jnp.ones((T, T), bool))
+    s = jnp.where(mask[None, None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhts,bshd->bthd", p, v.astype(jnp.float32))
+    return o.astype(q.dtype)
+
+
+def test_ring_attention_matches_dense():
+    rng = np.random.default_rng(0)
+    B, T, nq, nkv, d = 2, 64, 4, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, T, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, nkv, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, T, nkv, d)), jnp.float32)
+    ref = _dense_causal(q, k, v)
+    mesh = shd.make_mesh(n_data=8, n_model=1)
+    out = ring_self_attention(q, k, v, mesh, axis="data")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ring_attention_under_jit():
+    rng = np.random.default_rng(1)
+    B, T, nq, d = 1, 32, 2, 8
+    q = jnp.asarray(rng.normal(size=(B, T, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, T, nq, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, T, nq, d)), jnp.float32)
+    mesh = shd.make_mesh(n_data=8, n_model=1)
+    out = jax.jit(lambda q, k, v: ring_self_attention(q, k, v, mesh,
+                                                      axis="data"))(q, k, v)
+    ref = _dense_causal(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_prefill_sp_matches_standard_forward():
+    """Full sequence-parallel prefill (activations sharded over 8 devices)
+    must reproduce the standard forward's hidden states, taps and KV."""
+    from eagle_tpu.models import transformer
+    from eagle_tpu.ops.kv_cache import init_cache
+    from eagle_tpu.ops.masks import prefill_mask
+    from eagle_tpu.parallel.ring_attention import prefill_sp
+    from test_engine_greedy import tiny_cfg
+
+    cfg = tiny_cfg()
+    params = transformer.init_params(cfg, jax.random.PRNGKey(0))
+    T = 64
+    rng = np.random.default_rng(2)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, T)), jnp.int32)
+
+    cache = init_cache(cfg.num_layers, 1, cfg.num_kv_heads, T, cfg.head_dim,
+                       dtype=jnp.float32)
+    pos = jnp.arange(T, dtype=jnp.int32)[None]
+    ref = transformer.forward(params, cfg, tokens, cache, pos,
+                              prefill_mask(T, T, cache.length))
+
+    mesh = shd.make_mesh(n_data=8, n_model=1)
+    with jax.set_mesh(mesh):
+        hidden, taps, ks, vs = jax.jit(
+            lambda p, t: prefill_sp(p, cfg, t, mesh, axis="data")
+        )(params, tokens)
+    np.testing.assert_allclose(np.asarray(hidden), np.asarray(ref.hidden),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(taps), np.asarray(ref.taps),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ks), np.asarray(ref.cache.k),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(vs), np.asarray(ref.cache.v),
+                               rtol=2e-5, atol=2e-5)
