@@ -92,6 +92,11 @@ class ModelConfig:
     # mixtral MoE (modeling_mixtral_kv.py:449-517). 0 experts = dense MLP.
     num_experts: int = 0
     experts_per_token: int = 0
+    # "dense" runs every expert on every token (weight-bound-optimal decode);
+    # "capacity" does GShard-style ragged dispatch (compute-bound prefill /
+    # training; may drop overflow tokens — size with moe_capacity_factor)
+    moe_impl: str = "dense"
+    moe_capacity_factor: float = 2.0
 
     # activations dtype; params dtype chosen at load time
     dtype: Any = jnp.bfloat16

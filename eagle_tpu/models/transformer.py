@@ -108,6 +108,52 @@ def _mlp_moe(h: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
     return jnp.sum(out * combine[..., None].astype(out.dtype), axis=2).astype(h.dtype)
 
 
+def _mlp_moe_capacity(h: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
+    """Capacity-based ragged MoE dispatch (GShard-style).
+
+    The dense path (_mlp_moe) runs EVERY expert on EVERY token — optimal for
+    weight-bound decode (all expert weights stream anyway) but E/k× wasted
+    FLOPs for compute-bound prefill/training. Here each token is scattered
+    to its top-k experts' capacity-bounded buffers [E, C, H]; experts
+    compute one batched FFN; results gather back weighted by the router.
+    Tokens overflowing an expert's capacity are dropped (standard GShard
+    semantics; cfg.moe_capacity_factor sizes C). With experts sharded over
+    "model", XLA lowers the scatter/gather to all-to-alls.
+    """
+    B, T, H = h.shape
+    E, k = cfg.num_experts, cfg.experts_per_token
+    N = B * T
+    x = h.reshape(N, H)
+    router_logits = jnp.einsum("nh,hE->nE", x, lp["router"].astype(x.dtype),
+                               preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    top_p, top_i = jax.lax.top_k(probs, k)                  # [N, k]
+    top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)
+
+    C = max(8, int(-(-N * k // E) * cfg.moe_capacity_factor))
+    flat_e = top_i.reshape(-1)                              # [N*k]
+    onehot = jax.nn.one_hot(flat_e, E, dtype=jnp.int32)
+    pos = jnp.take_along_axis(jnp.cumsum(onehot, axis=0) - onehot,
+                              flat_e[:, None], axis=1)[:, 0]  # rank in expert
+    keep = pos < C
+    x_rep = jnp.repeat(x, k, axis=0)                        # [N*k, H]
+    disp = jnp.zeros((E, C, H), x.dtype)
+    disp = disp.at[jnp.where(keep, flat_e, 0),
+                   jnp.where(keep, pos, 0)].add(
+        jnp.where(keep[:, None], x_rep, 0))
+    gate = jnp.einsum("ech,ehf->ecf", disp, lp["we_gate"].astype(x.dtype),
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+    up = jnp.einsum("ech,ehf->ecf", disp, lp["we_up"].astype(x.dtype),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+    out_e = jnp.einsum("ecf,efh->ech", jax.nn.silu(gate) * up,
+                       lp["we_down"].astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+    picked = out_e[jnp.where(keep, flat_e, 0), jnp.where(keep, pos, 0)]
+    w = (top_p.reshape(-1) * keep).astype(picked.dtype)
+    y = jnp.sum((picked * w[:, None]).reshape(N, k, H), axis=1)
+    return y.reshape(B, T, H).astype(h.dtype)
+
+
 def _layer(h: jnp.ndarray, lp: dict, cfg: ModelConfig,
            k_cache: jnp.ndarray, v_cache: jnp.ndarray,
            cos: jnp.ndarray, sin: jnp.ndarray,
@@ -143,7 +189,11 @@ def _layer(h: jnp.ndarray, lp: dict, cfg: ModelConfig,
         attn_out = attention(q, k_cache, v_cache, mask)
     h = h + _dense(attn_out, lp["wo"])
     x = rms_norm(h, lp["ln2"], cfg.rms_eps)
-    mlp_out = _mlp_moe(x, lp, cfg) if cfg.num_experts > 0 else _mlp_dense(x, lp)
+    if cfg.num_experts > 0:
+        mlp_out = (_mlp_moe_capacity(x, lp, cfg)
+                   if cfg.moe_impl == "capacity" else _mlp_moe(x, lp, cfg))
+    else:
+        mlp_out = _mlp_dense(x, lp)
     return h + mlp_out, k_cache, v_cache
 
 

@@ -175,3 +175,43 @@ def test_fused_generation_runs_sharded():
     with jax.set_mesh(mesh):
         out = eng.generate_fused(PROMPT, max_new_tokens=16)
     np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+
+
+def test_moe_capacity_dispatch_matches_dense():
+    """Capacity-based ragged dispatch == dense dispatch when capacity is
+    ample (no drops), unsharded and under expert-parallel sharding."""
+    import dataclasses
+
+    base = ModelConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_q_heads=8, num_kv_heads=4, head_dim=8, num_experts=8,
+        experts_per_token=2, dtype=jnp.float32,
+    )
+    cfg_cap = dataclasses.replace(base, moe_impl="capacity",
+                                  moe_capacity_factor=8.0)
+    params = transformer.init_params(base, jax.random.PRNGKey(13))
+    T, S = 16, 32
+    tokens = jnp.asarray(np.random.default_rng(6).integers(
+        0, base.vocab_size, size=(2, T)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (2, T))
+
+    def run(cfg, params, cache):
+        mask = prefill_mask(T, S, cache.length)
+        res = transformer.forward(params, cfg, tokens, cache, pos, mask)
+        return transformer.lm_head(params, cfg, res.hidden)
+
+    def mk_cache():
+        return init_cache(base.num_layers, 2, base.num_kv_heads, S,
+                          base.head_dim, dtype=jnp.float32)
+
+    ref = run(base, params, mk_cache())
+    out = run(cfg_cap, params, mk_cache())
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    mesh = shd.make_mesh(n_data=1, n_model=8)
+    params_s = shd.shard_params(params, mesh, shd.target_param_specs(base))
+    with jax.set_mesh(mesh):
+        out_s = jax.jit(lambda p, c: run(cfg_cap, p, c))(params_s, mk_cache())
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
