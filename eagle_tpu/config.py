@@ -97,6 +97,10 @@ class ModelConfig:
     # training; may drop overflow tokens — size with moe_capacity_factor)
     moe_impl: str = "dense"
     moe_capacity_factor: float = 2.0
+    # qwen2-style sliding-window attention: window size + per-layer flags
+    # (True = sliding layer). None/empty → full attention everywhere.
+    sliding_window: Optional[int] = None
+    sliding_layer_flags: Optional[Tuple[bool, ...]] = None
 
     # activations dtype; params dtype chosen at load time
     dtype: Any = jnp.bfloat16
@@ -129,6 +133,22 @@ class ModelConfig:
         is_qwen2 = "qwen2" in arch_l
         is_qwen3 = "qwen3" in arch_l
         is_mixtral = "mixtral" in arch_l
+        # sliding-window parsing (qwen2/qwen3 style): explicit layer_types,
+        # or max_window_layers (layers >= mwl are full attention)
+        sw = None
+        sw_flags = None
+        L = d["num_hidden_layers"]
+        if d.get("use_sliding_window") and d.get("sliding_window"):
+            sw = int(d["sliding_window"])
+            if d.get("layer_types"):
+                sw_flags = tuple(t == "sliding_attention"
+                                 for t in d["layer_types"])
+            else:
+                mwl = int(d.get("max_window_layers", L))
+                sw_flags = tuple(i < mwl for i in range(L))
+            if not any(sw_flags):
+                sw = None
+                sw_flags = None
         return ModelConfig(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
@@ -145,6 +165,8 @@ class ModelConfig:
             tie_embeddings=d.get("tie_word_embeddings", False),
             num_experts=d.get("num_local_experts", 0) if is_mixtral else 0,
             experts_per_token=d.get("num_experts_per_tok", 0) if is_mixtral else 0,
+            sliding_window=sw,
+            sliding_layer_flags=sw_flags,
             dtype=dtype,
         )
 

@@ -157,8 +157,15 @@ def _mlp_moe_capacity(h: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray
 def _layer(h: jnp.ndarray, lp: dict, cfg: ModelConfig,
            k_cache: jnp.ndarray, v_cache: jnp.ndarray,
            cos: jnp.ndarray, sin: jnp.ndarray,
-           mask: jnp.ndarray, start: jnp.ndarray):
-    """One decoder layer; returns (h, k_cache, v_cache)."""
+           mask: jnp.ndarray, start: jnp.ndarray,
+           positions=None, sliding: jnp.ndarray | None = None):
+    """One decoder layer; returns (h, k_cache, v_cache).
+
+    positions [B,T] + sliding (scalar bool) implement qwen2-style per-layer
+    sliding-window attention: when sliding, prefix columns below
+    position−window+1 are masked out (tree columns sit within ≤64 rows of
+    the query and are never affected by realistic window sizes).
+    """
     B, T, _ = h.shape
     x = rms_norm(h, lp["ln1"], cfg.rms_eps)
     q = _dense(x, lp["wq"], lp.get("bq")).reshape(B, T, cfg.num_q_heads, cfg.head_dim)
@@ -170,6 +177,13 @@ def _layer(h: jnp.ndarray, lp: dict, cfg: ModelConfig,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     k_cache, v_cache = update_layer(k_cache, v_cache, k, v, start)
+    if cfg.sliding_window and sliding is not None and positions is not None:
+        S_len = k_cache.shape[2]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S_len), 2)
+        sw_ok = col > (positions[:, :, None] - cfg.sliding_window)
+        if isinstance(mask, TreeMaskSpec):
+            mask = tree_mask_full(mask.tree_mask, S_len, mask.start)
+        mask = mask & jnp.where(sliding, sw_ok, True)
     if isinstance(mask, TreeMaskSpec):
         if cfg.attn_impl == "pallas_tree":
             import jax as _jax
@@ -218,11 +232,19 @@ def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray, cache: KVCache,
     tap_layers = jnp.asarray(cfg.tap_layers, jnp.int32)
     taps0 = jnp.zeros((3, B, T, H), cfg.dtype)
 
+    if cfg.sliding_window and cfg.sliding_layer_flags:
+        sw_flags = jnp.asarray(cfg.sliding_layer_flags)
+    else:
+        sw_flags = None
+
     def step(carry, xs):
         h, taps, idx = carry
         lp, k_cache, v_cache = xs
         taps = jnp.where((tap_layers == idx)[:, None, None, None], h[None], taps)
-        h, k_cache, v_cache = _layer(h, lp, cfg, k_cache, v_cache, cos, sin, mask, start)
+        sliding = sw_flags[idx] if sw_flags is not None else None
+        h, k_cache, v_cache = _layer(h, lp, cfg, k_cache, v_cache, cos, sin,
+                                     mask, start, positions=positions,
+                                     sliding=sliding)
         return (h, taps, idx + 1), (k_cache, v_cache)
 
     (h, taps, _), (k_new, v_new) = jax.lax.scan(

@@ -136,3 +136,26 @@ def test_greedy_matches_vanilla_all_architectures(variant):
     ref = eng.generate_vanilla(PROMPT, max_new_tokens=24)
     out = eng.generate(PROMPT, max_new_tokens=24)
     np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+
+
+def test_greedy_matches_vanilla_sliding_window():
+    """Engine bit-exactness with per-layer sliding-window attention: tree
+    verification and vanilla decode must apply identical window masks."""
+    from eagle_tpu.config import ModelConfig
+    from eagle_tpu.models import transformer as tr
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64, num_layers=4,
+        num_q_heads=4, num_kv_heads=2, head_dim=8, dtype=jnp.float32,
+        attn_qkv_bias=True, sliding_window=12,
+        sliding_layer_flags=(True, True, False, False),
+    )
+    dcfg = tiny_dcfg(1)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(21))
+    params = tr.init_params(cfg, k1)
+    dparams = draft_mod.init_params(dcfg, k2)
+    ecfg = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256)
+    eng = EagleEngine(params, cfg, dparams, dcfg, ecfg)
+    ref = eng.generate_vanilla(PROMPT, max_new_tokens=30)  # crosses window
+    out = eng.generate(PROMPT, max_new_tokens=30)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])

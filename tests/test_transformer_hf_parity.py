@@ -175,3 +175,42 @@ def test_feature_taps_are_layer_inputs():
     np.testing.assert_allclose(taps[..., :H], expected[lo], rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(taps[..., H:2 * H], expected[mid], rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(taps[..., 2 * H:], expected[hi], rtol=1e-6, atol=1e-6)
+
+
+def test_qwen2_sliding_window_matches_hf():
+    """Per-layer sliding-window attention (qwen2 style) vs HF."""
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = Qwen2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, tie_word_embeddings=False,
+        use_sliding_window=True, sliding_window=8, max_window_layers=2,
+    )
+    model = Qwen2ForCausalLM(hf_cfg)
+    model.eval()
+    d = hf_cfg.to_dict()
+    if getattr(hf_cfg, "layer_types", None):
+        d["layer_types"] = list(hf_cfg.layer_types)
+    cfg = ModelConfig.from_hf_dict(d, dtype=jnp.float32)
+    assert cfg.sliding_window == 8
+    assert cfg.sliding_layer_flags is not None and any(cfg.sliding_layer_flags)
+    sd = {k: v.float().numpy() for k, v in model.state_dict().items()}
+    params = convert_target(sd, cfg, dtype=jnp.float32)
+
+    T = 24  # > window so the mask actually truncates
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, cfg.vocab_size, size=(1, T))
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(tokens)).logits.numpy()
+    cache = init_cache(cfg.num_layers, 1, cfg.num_kv_heads, MAX_LEN,
+                       cfg.head_dim, dtype=jnp.float32)
+    positions = jnp.arange(T, dtype=jnp.int32)[None]
+    mask = prefill_mask(T, MAX_LEN, cache.length)
+    res = transformer.forward(params, cfg, jnp.asarray(tokens), cache,
+                              positions, mask)
+    logits = transformer.lm_head(params, cfg, res.hidden)
+    np.testing.assert_allclose(np.asarray(logits), hf_logits,
+                               rtol=2e-4, atol=2e-4)
