@@ -185,7 +185,16 @@ def make_handler(backend: ChatBackend):
 
         def do_POST(self):
             length = int(self.headers.get("Content-Length", 0))
-            req = json.loads(self.rfile.read(length) or "{}")
+            try:
+                req = json.loads(self.rfile.read(length) or "{}")
+                if not isinstance(req, dict):
+                    raise ValueError("body must be a JSON object")
+            except (ValueError, json.JSONDecodeError) as e:
+                self.send_response(400)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps({"error": str(e)}).encode())
+                return
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
             self.end_headers()
