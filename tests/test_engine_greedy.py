@@ -159,3 +159,35 @@ def test_greedy_matches_vanilla_sliding_window():
     ref = eng.generate_vanilla(PROMPT, max_new_tokens=30)  # crosses window
     out = eng.generate(PROMPT, max_new_tokens=30)
     np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+
+
+def test_tied_embeddings_engine():
+    """tie_word_embeddings models (e.g. llama-3.2-1B): lm_head = embedᵀ for
+    both target logits and v1 draft scoring."""
+    import dataclasses
+
+    from eagle_tpu.models import transformer as tr
+
+    cfg = dataclasses.replace(tiny_cfg(), tie_embeddings=True)
+    dcfg = tiny_dcfg(1)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(31))
+    params = tr.init_params(cfg, k1)
+    assert "lm_head" not in params
+    dparams = draft_mod.init_params(dcfg, k2)
+    ecfg = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256)
+    eng = EagleEngine(params, cfg, dparams, dcfg, ecfg)
+    ref = eng.generate_vanilla(PROMPT, max_new_tokens=24)
+    out = eng.generate(PROMPT, max_new_tokens=24)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+
+
+def test_calibrate_total_tokens_runs():
+    from eagle_tpu.engine.engine import calibrate_total_tokens
+
+    cfg = tiny_cfg()
+    params = __import__("eagle_tpu.models.transformer",
+                        fromlist=["init_params"]).init_params(
+        cfg, jax.random.PRNGKey(0))
+    n = calibrate_total_tokens(params, cfg, candidates=(8, 16),
+                               weights=(1.0, 1.05), max_len=64, reps=2)
+    assert n in (8, 16)
