@@ -66,7 +66,7 @@ def main():
     params["lm_head"] = params["lm_head"] * 8.0
     dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(1))
     dparams["embed"]["w"] = params["embed"]["w"]
-    ecfg = EngineConfig(total_tokens=59, depth=6, top_k=10, max_len=1024)
+    ecfg = EngineConfig(total_tokens=63, depth=7, top_k=10, max_len=1024)
     eng = EagleEngine(params, cfg, dparams, dcfg, ecfg)
     log(f"[bench] setup {time.time()-t0:.1f}s; devices={jax.devices()}")
 
@@ -89,7 +89,7 @@ def main():
 
     # ---- distill the draft (TTT objective)
     t2 = time.time()
-    tcfg = ttt.TrainConfig(length=6, lr=3e-3, warmup_steps=10,
+    tcfg = ttt.TrainConfig(length=7, lr=3e-3, warmup_steps=10,
                            total_steps=2000)
     opt = ttt.make_optimizer(tcfg)
     trainable, _ = ttt.partition_trainable(dparams)
@@ -123,7 +123,6 @@ def main():
     # once round boundaries shift) and τ collapses — an artifact of the
     # random-weight-target emulation, not of the engine.
     LO, HI = 16, 80
-    test_prompt = data[0, :Lp]
 
     def timed(fn, n=3):
         fn()  # compile
@@ -135,22 +134,36 @@ def main():
             best = min(best, time.time() - t)
         return best, r
 
-    tv_lo, _ = timed(lambda: eng.generate_vanilla(
-        test_prompt, max_new_tokens=LO, fused=True))
-    tv_hi, _ = timed(lambda: eng.generate_vanilla(
-        test_prompt, max_new_tokens=HI, fused=True))
-    te_lo, (_, n_lo, r_lo) = timed(lambda: eng.generate_fused(
-        test_prompt, max_new_tokens=LO, log=True))
-    te_hi, (_, n_hi, r_hi) = timed(lambda: eng.generate_fused(
-        test_prompt, max_new_tokens=HI, log=True))
-    tau = (n_hi - n_lo) / max(r_hi - r_lo, 1)
-    vanilla_tps = (HI - LO) / (tv_hi - tv_lo)
-    eagle_tps = (n_hi - n_lo) / (te_hi - te_lo)
+    # median over several prompts: single-prompt τ occasionally collapses
+    # when bf16 rounding kicks a trajectory off the memorized corpus early
+    # (an artifact of the random-weight emulation, not of the engine)
+    taus, rounds_ms, vsteps_ms = [], [], []
+    for pi in range(4):
+        test_prompt = data[pi, :Lp]
+        tv_lo, _ = timed(lambda: eng.generate_vanilla(
+            test_prompt, max_new_tokens=LO, fused=True))
+        tv_hi, _ = timed(lambda: eng.generate_vanilla(
+            test_prompt, max_new_tokens=HI, fused=True))
+        te_lo, (_, n_lo, r_lo) = timed(lambda: eng.generate_fused(
+            test_prompt, max_new_tokens=LO, log=True))
+        te_hi, (_, n_hi, r_hi) = timed(lambda: eng.generate_fused(
+            test_prompt, max_new_tokens=HI, log=True))
+        dr = max(r_hi - r_lo, 1)
+        taus.append((n_hi - n_lo) / dr)
+        rounds_ms.append(1e3 * (te_hi - te_lo) / dr)
+        vsteps_ms.append(1e3 * (tv_hi - tv_lo) / (HI - LO))
+        log(f"[bench] prompt {pi}: tau={taus[-1]:.2f} "
+            f"round={rounds_ms[-1]:.2f}ms vstep={vsteps_ms[-1]:.2f}ms")
+    tau = float(np.median(taus))
+    round_ms = float(np.median(rounds_ms))
+    vstep_ms = float(np.median(vsteps_ms))
+    vanilla_tps = 1e3 / vstep_ms
+    eagle_tps = tau * 1e3 / round_ms
     speedup = eagle_tps / vanilla_tps
-    log(f"[bench] steady-state vanilla {vanilla_tps:.1f} tok/s | eagle "
-        f"{eagle_tps:.1f} tok/s | tau={tau:.2f} | speedup={speedup:.2f}x | "
-        f"round={1e3*(te_hi-te_lo)/max(r_hi-r_lo,1):.2f}ms | vanilla-step="
-        f"{1e3*(tv_hi-tv_lo)/(HI-LO):.2f}ms | total {time.time()-t0:.0f}s")
+    log(f"[bench] steady-state (median of 4) vanilla {vanilla_tps:.1f} tok/s "
+        f"| eagle {eagle_tps:.1f} tok/s | tau={tau:.2f} | "
+        f"speedup={speedup:.2f}x | round={round_ms:.2f}ms | "
+        f"vanilla-step={vstep_ms:.2f}ms | total {time.time()-t0:.0f}s")
 
     print(json.dumps({
         "metric": "e2e_speedup_vs_vanilla",
