@@ -59,9 +59,12 @@ class EagleEngine:
 
     def __init__(self, params: dict, cfg: ModelConfig, dparams: dict,
                  dcfg: DraftConfig, ecfg: EngineConfig,
-                 eos_token_id: Optional[int] = None):
+                 eos_token_id: Optional[int] = None,
+                 sp_mesh=None, sp_axis: str = "data"):
         self.params, self.cfg = params, cfg
         self.eos_token_id = eos_token_id  # device-side finish detection
+        # optional sequence-parallel prefill (ring attention over sp_axis)
+        self.sp_mesh, self.sp_axis = sp_mesh, sp_axis
         if ecfg.draft_quant == "int8":
             from ..ops.quant import quantize_draft_params
             dparams = quantize_draft_params(dparams)
@@ -164,13 +167,32 @@ class EagleEngine:
     def _prefill(self, params, dparams, tokens, prompt_len, cache, dcache, key):
         """Prompt prefill + first draft tree (utils.py:232-255 analog).
 
-        tokens: [1, Tp] padded; prompt_len: scalar int32 ≤ Tp.
+        tokens: [1, Tp] padded; prompt_len: scalar int32 ≤ Tp. With
+        `sp_mesh` configured, the prompt forward runs sequence-parallel
+        (ring attention over the mesh axis — parallel/ring_attention.py) and
+        the produced K/V are written into the decode cache, resharded to its
+        head-parallel layout by XLA.
         """
         Tp = tokens.shape[1]
         S = cache.max_len
-        pos = jnp.arange(Tp, dtype=jnp.int32)[None]
-        mask = prefill_mask(Tp, S, cache.length)
-        res = transformer.forward(params, self.cfg, tokens, cache, pos, mask)
+        if (self.sp_mesh is not None and self.cfg.num_experts == 0
+                and Tp % self.sp_mesh.shape[self.sp_axis] == 0):
+            from ..parallel.ring_attention import prefill_sp
+
+            hidden, taps, ks, vs = prefill_sp(params, self.cfg, tokens,
+                                              self.sp_mesh, axis=self.sp_axis)
+            new_k = jax.lax.dynamic_update_slice(
+                cache.k, ks.astype(cache.k.dtype), (0, 0, 0, 0, 0))
+            new_v = jax.lax.dynamic_update_slice(
+                cache.v, vs.astype(cache.v.dtype), (0, 0, 0, 0, 0))
+            res = transformer.ForwardResult(
+                hidden=hidden, pre_norm_hidden=hidden, taps=taps,
+                cache=KVCache(k=new_k, v=new_v, length=cache.length + Tp))
+        else:
+            pos = jnp.arange(Tp, dtype=jnp.int32)[None]
+            mask = prefill_mask(Tp, S, cache.length)
+            res = transformer.forward(params, self.cfg, tokens, cache, pos,
+                                      mask)
         last_logits = transformer.lm_head(
             params, self.cfg, res.hidden[0, prompt_len - 1])      # [V] fp32
         key, k1, k_draft = jax.random.split(key, 3)

@@ -86,3 +86,33 @@ def test_prefill_sp_matches_standard_forward():
                                rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(vs), np.asarray(ref.cache.v),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_engine_with_sp_prefill():
+    """EagleEngine with sequence-parallel prefill: greedy output matches a
+    standard-prefill engine (ring-softmax fp rounding differs, so compare
+    token sequences — fp32+highest makes argmax flips vanishingly rare)."""
+    from eagle_tpu.config import EngineConfig
+    from eagle_tpu.engine.engine import EagleEngine
+    from eagle_tpu.models import draft as draft_mod
+    from eagle_tpu.models import transformer
+    from test_engine_greedy import tiny_cfg, tiny_dcfg
+
+    cfg = tiny_cfg()
+    dcfg = tiny_dcfg(3)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(17))
+    params = transformer.init_params(cfg, k1)
+    dparams = draft_mod.init_params(dcfg, k2)
+    ecfg = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256)
+
+    eng_std = EagleEngine(params, cfg, dparams, dcfg, ecfg)
+    mesh = shd.make_mesh(n_data=8, n_model=1)
+    eng_sp = EagleEngine(params, cfg, dparams, dcfg, ecfg, sp_mesh=mesh,
+                         sp_axis="data")
+    prompt = np.arange(10, dtype=np.int32) * 7 % cfg.vocab_size
+    with jax.set_mesh(mesh):
+        out_sp = eng_sp.generate(prompt, max_new_tokens=24)
+    out_std = eng_std.generate(prompt, max_new_tokens=24)
+    ref = eng_std.generate_vanilla(prompt, max_new_tokens=24)
+    np.testing.assert_array_equal(out_std[: len(ref)], ref[: len(out_std)])
+    np.testing.assert_array_equal(out_sp, out_std)
