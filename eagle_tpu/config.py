@@ -267,11 +267,14 @@ class EngineConfig:
     depth: int = 5           # draft expansion steps
     top_k: int = 10          # beam width / children per node
     max_len: int = 2048      # preallocated KV slots
-    # acceptance rule under temperature>0:
-    #   "true_q"  — multi-round rejection with real draft probs
-    #               (modeling_eagle.py:1352-1459 semantics; provably lossless)
-    #   "unit_q"  — the reference main-path simplification q(x)=1
-    #               (utils.py:398-399)
+    # acceptance rule under temperature>0 (both are lossless — validated by
+    # the Monte-Carlo harness, tests/test_losslessness_mc.py):
+    #   dynamic trees always use the q(x)=1 multi-round rejection rule,
+    #   which is exactly correct for deterministic top-k candidates
+    #   (utils.py:398-399 — not a simplification in that regime);
+    #   "true_q" additionally switches STATIC trees to sampled-without-
+    #   replacement candidates + true-q(x) rejection
+    #   (modeling_eagle.py:842-860, 1352-1459 semantics).
     acceptance: str = "true_q"
     # draft-head weight quantization: "none" | "int8" (ops/quant.py). The
     # draft only proposes; quantizing it can lower τ but never changes the
