@@ -191,6 +191,12 @@ def convert_draft(sd: Dict[str, np.ndarray], cfg: DraftConfig, dtype=None,
             "wk": lin(p + "self_attn.k_proj.weight"),
             "wv": lin(p + "self_attn.v_proj.weight"),
             "wo": lin(p + "self_attn.o_proj.weight"),
+        }
+        if p + "self_attn.q_proj.bias" in sd:  # qwen2-target EAGLE-3 heads
+            lp["bq"] = vec(p + "self_attn.q_proj.bias")
+            lp["bk"] = vec(p + "self_attn.k_proj.bias")
+            lp["bv"] = vec(p + "self_attn.v_proj.bias")
+        lp |= {
             "hidden_norm": vec(p + "hidden_norm.weight"),
             "ln1": vec(p + "input_layernorm.weight"),
             "ln2": vec(p + "post_attention_layernorm.weight"),
