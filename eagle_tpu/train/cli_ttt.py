@@ -45,6 +45,9 @@ def main(argv=None):
     ap.add_argument("--save-every-epochs", type=int, default=1)
     ap.add_argument("--export-safetensors", default=None,
                     help="also export the draft in HF cnets naming")
+    ap.add_argument("--metrics-file", default=None,
+                    help="append per-step metrics as jsonl (wandb-equivalent "
+                         "observability, train/main.py:67-70 analog)")
     ap.add_argument("--data-parallel", type=int, default=0,
                     help="mesh data axis (0 = all devices)")
     args = ap.parse_args(argv)
@@ -112,6 +115,16 @@ def main(argv=None):
                     print(f"[train] epoch {epoch} step {n_steps} "
                           f"loss {losses[-1]:.4f} acc0 {accs[-1][0]:.3f}",
                           flush=True)
+                    if args.metrics_file and jax.process_index() == 0:
+                        import json
+                        with open(args.metrics_file, "a") as mf:
+                            mf.write(json.dumps({
+                                "epoch": epoch, "step": n_steps,
+                                "loss": float(m.loss),
+                                "plosses": [float(x) for x in m.plosses],
+                                "accs": [float(x) for x in m.accs],
+                                "time": time.time(),
+                            }) + "\n")
             print(f"[train] epoch {epoch} done: {n_steps} steps "
                   f"{time.time()-t0:.0f}s", flush=True)
             if (epoch + 1) % args.save_every_epochs == 0 and \
