@@ -139,6 +139,11 @@ class EagleEngine:
         return draft_round(dparams, self.dcfg, self.ecfg, ext_tokens,
                            ext_feats, n_new, dcache, self._lm_head_w)
 
+    def _bucket(self, n: int) -> int:
+        """Prompt padding bucket, capped by max_len (a 128-token quantum
+        would overflow the preallocated caches of small-max_len engines)."""
+        return _bucket(n, quantum=min(128, self.ecfg.max_len))
+
     def _tgt_len(self) -> int:
         """KV rows for the target cache: max_len + tree scratch, rounded
         up so the Pallas kernel's KV-block grid divides evenly (the kernel
@@ -290,7 +295,7 @@ class EagleEngine:
         details=True returns (ids, stats-dict incl. per-round accept_lens)."""
         prompt = np.asarray(prompt_ids, np.int32).reshape(1, -1)
         Lp = prompt.shape[1]
-        Tp = _bucket(Lp)
+        Tp = self._bucket(Lp)
         padded = np.zeros((1, Tp), np.int32)
         padded[0, :Lp] = prompt
         cache, dcache = self.init_caches()
@@ -369,7 +374,7 @@ class EagleEngine:
         round's window (trimmed host-side, EOS-respecting)."""
         prompt = np.asarray(prompt_ids, np.int32).reshape(1, -1)
         Lp = prompt.shape[1]
-        Tp = _bucket(Lp)
+        Tp = self._bucket(Lp)
         padded = np.zeros((1, Tp), np.int32)
         padded[0, :Lp] = prompt
         cache, dcache = self.init_caches()
@@ -409,7 +414,7 @@ class EagleEngine:
         across the batch while every sequence still speculates."""
         B = len(prompts)
         lens = [len(p) for p in prompts]
-        Tp = _bucket(max(lens))
+        Tp = self._bucket(max(lens))
         padded = np.zeros((B, 1, Tp), np.int32)
         for i, p in enumerate(prompts):
             padded[i, 0, : lens[i]] = np.asarray(p, np.int32)
@@ -479,7 +484,7 @@ class EagleEngine:
         """
         B = len(prompts)
         lens = [len(p) for p in prompts]
-        Tp = _bucket(max(lens))
+        Tp = self._bucket(max(lens))
         padded = np.zeros((B, 1, Tp), np.int32)
         for i, p in enumerate(prompts):
             padded[i, 0, : lens[i]] = np.asarray(p, np.int32)
@@ -535,7 +540,7 @@ class EagleEngine:
         round, for token-streaming UIs."""
         prompt = np.asarray(prompt_ids, np.int32).reshape(1, -1)
         Lp = prompt.shape[1]
-        Tp = _bucket(Lp)
+        Tp = self._bucket(Lp)
         padded = np.zeros((1, Tp), np.int32)
         padded[0, :Lp] = prompt
         cache, dcache = self.init_caches()
@@ -612,7 +617,7 @@ class EagleEngine:
         analog): yields (all_ids_so_far, stats) per token."""
         prompt = np.asarray(prompt_ids, np.int32).reshape(1, -1)
         Lp = prompt.shape[1]
-        Tp = _bucket(Lp)
+        Tp = self._bucket(Lp)
         padded = np.zeros((1, Tp), np.int32)
         padded[0, :Lp] = prompt
         e, c = self.ecfg, self.cfg
@@ -643,7 +648,7 @@ class EagleEngine:
                          fused: bool = False):
         prompt = np.asarray(prompt_ids, np.int32).reshape(1, -1)
         Lp = prompt.shape[1]
-        Tp = _bucket(Lp)
+        Tp = self._bucket(Lp)
         padded = np.zeros((1, Tp), np.int32)
         padded[0, :Lp] = prompt
         e, c = self.ecfg, self.cfg

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .engine import EagleEngine, EngineState, _bucket
+from .engine import EagleEngine, EngineState
 
 
 @dataclass
@@ -84,7 +84,7 @@ class EagleServer:
     def _prefill_one(self, req: _Request) -> EngineState:
         eng = self.engine
         Lp = len(req.prompt)
-        Tp = _bucket(Lp)
+        Tp = eng._bucket(Lp)
         padded = np.zeros((1, Tp), np.int32)
         padded[0, :Lp] = req.prompt
         cache, dcache = eng.init_caches()
