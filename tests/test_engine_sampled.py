@@ -100,3 +100,14 @@ def test_engine_second_token_conditional():
     emp = (seqs[sel, 1] == t2).mean()
     sigma = np.sqrt(p2[t2] * (1 - p2[t2]) / sel.sum())
     assert abs(emp - p2[t2]) < 5 * sigma + 0.03, (emp, p2[t2], sel.sum())
+
+
+def test_fused_sampled_generation_runs():
+    """generate_fused under temperature>0 (the while_loop carries PRNG keys
+    through rounds)."""
+    eng = make_engine(3, temperature=0.9, top_p=0.9)
+    out, ntok, rounds = eng.generate_fused(PROMPT, max_new_tokens=24,
+                                           seed=3, log=True)
+    assert ntok >= 24 and rounds >= 1
+    out2 = eng.generate_fused(PROMPT, max_new_tokens=24, seed=4)
+    assert not np.array_equal(out, out2)
