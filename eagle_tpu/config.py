@@ -283,6 +283,14 @@ class EngineConfig:
     temperature: float = 0.0
     top_p: float = 0.0
     sampling_top_k: int = 0
+    # length-bucketed decode attention: ascending KV-row bucket sizes (the
+    # full cache size is appended automatically). Each fused decode round /
+    # vanilla step only reads the smallest bucket that holds the committed
+    # context plus one round's tree+commit window — attention HBM traffic
+    # scales with the live context instead of the preallocated max_len.
+    # Both paths use the same bucket formula, preserving greedy
+    # bit-exactness. None → always read the full cache.
+    kv_buckets: Optional[Tuple[int, ...]] = None
     # EAGLE-1 static topology: a choices-style tuple of child-rank paths
     # (eagle/model/choices.py mc_sim_7b_63). None → dynamic EAGLE-2/3 trees.
     tree_paths: Optional[Tuple[Tuple[int, ...], ...]] = None

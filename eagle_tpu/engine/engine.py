@@ -225,8 +225,29 @@ class EagleEngine:
                                           e.sampling_top_k, e.top_p))
         return categorical(key, p)
 
-    def _round(self, params, dparams, state: EngineState):
-        """One speculative decode round (ea_model.py:251-299 analog)."""
+    def _round(self, params, dparams, state: EngineState,
+               kv_limit: Optional[int] = None):
+        """One speculative decode round (ea_model.py:251-299 analog).
+
+        kv_limit (static): run the round against only the first `kv_limit`
+        KV rows — valid whenever committed length + tree + commit window fit
+        inside it. Length-bucketed decoding (EngineConfig.kv_buckets) uses
+        this so attention reads scale with the live context, not the
+        preallocated cache.
+        """
+        if kv_limit is not None and kv_limit < state.cache.max_len:
+            small = state._replace(cache=KVCache(
+                k=state.cache.k[:, :, :, :kv_limit, :],
+                v=state.cache.v[:, :, :, :kv_limit, :],
+                length=state.cache.length))
+            new_small, out = self._round(params, dparams, small)
+            merged = KVCache(
+                k=state.cache.k.at[:, :, :, :kv_limit, :].set(
+                    new_small.cache.k),
+                v=state.cache.v.at[:, :, :, :kv_limit, :].set(
+                    new_small.cache.v),
+                length=new_small.cache.length)
+            return new_small._replace(cache=merged), out
         e, tree = self.ecfg, state.tree
         S = state.cache.max_len
         Lc = state.length
@@ -271,7 +292,9 @@ class EagleEngine:
             done = done | jnp.any(
                 (path_tokens == self.eos_token_id) & in_window)
         # capacity stop: no room for another round's tree + commit window
-        done = done | (Lc + n_acc + self.path_len + e.tree_size + 1 >= S)
+        # (against the FULL cache size — S may be a kv_limit slice)
+        done = done | (Lc + n_acc + self.path_len + e.tree_size + 1
+                       >= self._tgt_len())
 
         # --- next draft tree (utils.py:459-468)
         ext_tokens = jnp.concatenate(
@@ -358,13 +381,43 @@ class EagleEngine:
             st, rounds = carry
             return (~st.done) & (st.length - L0 < budget)
 
+        buckets = self._kv_buckets()
+
         def body(carry):
             st, rounds = carry
-            st, _ = self._round(params, dparams, st)
+            if buckets is None:
+                st, _ = self._round(params, dparams, st)
+            else:
+                idx = self._bucket_index(st.length, buckets)
+                st, _ = jax.lax.switch(
+                    idx,
+                    [(lambda s, b=b: self._round(params, dparams, s,
+                                                 kv_limit=b))
+                     for b in buckets],
+                    st)
             return (st, rounds + 1)
 
         state, rounds = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
         return state, rounds
+
+    def _kv_buckets(self):
+        """Ascending KV-row buckets ending at the full cache size."""
+        if not self.ecfg.kv_buckets:
+            return None
+        full = self._tgt_len()
+        bs = sorted(b for b in self.ecfg.kv_buckets if b < full)
+        return tuple(bs) + (full,)
+
+    def _bucket_index(self, length, buckets):
+        """Smallest bucket holding the committed context + one round's tree
+        and commit window. The same formula gates the vanilla scan so both
+        paths see identical attention extents at identical lengths (greedy
+        bit-exactness is preserved under bucketing)."""
+        need = length + self.ecfg.tree_size + self.path_len + 1
+        idx = jnp.int32(0)
+        for b in buckets[:-1]:
+            idx = idx + (need > b).astype(jnp.int32)
+        return idx
 
     def generate_fused(self, prompt_ids, max_new_tokens: int = 512,
                        seed: int = 0, log: bool = False):
@@ -588,7 +641,18 @@ class EagleEngine:
         nxt = self._pick_token(logits, k1)
         return with_length(res.cache, prompt_len[None]), nxt, key
 
-    def _vanilla_step(self, params, cache, token, key):
+    def _vanilla_step(self, params, cache, token, key,
+                      kv_limit: Optional[int] = None):
+        if kv_limit is not None and kv_limit < cache.max_len:
+            small = KVCache(k=cache.k[:, :, :, :kv_limit, :],
+                            v=cache.v[:, :, :, :kv_limit, :],
+                            length=cache.length)
+            new_small, nxt, key = self._vanilla_step(params, small, token, key)
+            merged = KVCache(
+                k=cache.k.at[:, :, :, :kv_limit, :].set(new_small.k),
+                v=cache.v.at[:, :, :, :kv_limit, :].set(new_small.v),
+                length=new_small.length)
+            return merged, nxt, key
         S = cache.max_len
         pos = cache.length[0][None, None]
         mask = prefill_mask(1, S, cache.length)
@@ -601,9 +665,20 @@ class EagleEngine:
 
     def _vanilla_scan(self, params, cache, token, key, n_steps: int):
         """Fused device-side decode: one dispatch for n_steps tokens."""
+        buckets = self._kv_buckets()
+
         def body(carry, _):
             cache, token, key = carry
-            new_cache, nxt, key = self._vanilla_step(params, cache, token, key)
+            if buckets is None:
+                new_cache, nxt, key = self._vanilla_step(params, cache, token,
+                                                         key)
+            else:
+                idx = self._bucket_index(cache.length[0], buckets)
+                new_cache, nxt, key = jax.lax.switch(
+                    idx,
+                    [(lambda c, t, k, b=b: self._vanilla_step(
+                        params, c, t, k, kv_limit=b)) for b in buckets],
+                    cache, token, key)
             return (new_cache, nxt, key), token
 
         (cache, _, _), toks = jax.lax.scan(
