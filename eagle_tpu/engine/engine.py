@@ -486,14 +486,32 @@ class EagleEngine:
                     self._prefill, in_axes=(None, None, 0, 0, 0, 0, 0)
                 )(params, dparams, toks, plens, cache, dcache, keys)
                 L0 = state.length
+                buckets = self._kv_buckets()
 
                 def cond(st):
                     return jnp.any(~st.done)
 
-                def body(st):
+                def round_b(st, kv_limit=None):
                     st, _ = jax.vmap(
-                        self._round, in_axes=(None, None, 0)
+                        lambda p, dp, s: self._round(p, dp, s,
+                                                     kv_limit=kv_limit),
+                        in_axes=(None, None, 0)
                     )(params, dparams, st)
+                    return st
+
+                def body(st):
+                    if buckets is None:
+                        st = round_b(st)
+                    else:
+                        # one bucket for the whole batch: the max live
+                        # context decides (switch sits OUTSIDE the vmap so
+                        # only one branch's reads happen per round)
+                        idx = self._bucket_index(jnp.max(st.length), buckets)
+                        st = jax.lax.switch(
+                            idx,
+                            [(lambda s, b=b: round_b(s, kv_limit=b))
+                             for b in buckets],
+                            st)
                     return st._replace(
                         done=st.done | (st.length - L0 >= budget))
 

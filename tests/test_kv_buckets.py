@@ -35,3 +35,17 @@ def test_bucketed_sampled_runs():
     out, ntok, rounds = eng.generate_fused(PROMPT, max_new_tokens=20,
                                            seed=3, log=True)
     assert ntok >= 20 and rounds >= 1
+
+
+def test_bucketed_batch_fused_matches_unbucketed():
+    eng0 = make_engine(1)
+    prompts = [np.array([5, 17, 92, 3], np.int32),
+               np.array([7, 1], np.int32)]
+    ref = eng0.generate_batch_fused(prompts, max_new_tokens=24)
+
+    ecfg_b = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256,
+                          kv_buckets=(64, 128))
+    eng = EagleEngine(eng0.params, eng0.cfg, eng0.dparams, eng0.dcfg, ecfg_b)
+    outs = eng.generate_batch_fused(prompts, max_new_tokens=24)
+    for a, b in zip(outs, ref):
+        np.testing.assert_array_equal(a, b)
