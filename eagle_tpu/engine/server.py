@@ -127,10 +127,24 @@ class EagleServer:
             return {}
 
         if self._round_b is None:
-            self._round_b = jax.jit(
-                jax.vmap(eng._round, in_axes=(None, None, 0)),
+            self._round_b = {}
+        # length-bucketed rounds (EngineConfig.kv_buckets): the host-side
+        # scheduler already syncs per step, so it picks the batch bucket
+        buckets = eng._kv_buckets()
+        kv_limit = None
+        if buckets is not None:
+            need = int(np.asarray(self._state.length).max()) \
+                + eng.ecfg.tree_size + eng.path_len + 1
+            kv_limit = next((b for b in buckets if need <= b), buckets[-1])
+        fn = self._round_b.get(kv_limit)
+        if fn is None:
+            fn = jax.jit(
+                jax.vmap(lambda p, dp, s: eng._round(p, dp, s,
+                                                     kv_limit=kv_limit),
+                         in_axes=(None, None, 0)),
                 donate_argnums=(2,))
-        self._state, r = self._round_b(eng.params, eng.dparams, self._state)
+            self._round_b[kv_limit] = fn
+        self._state, r = fn(eng.params, eng.dparams, self._state)
 
         emitted: Dict[int, np.ndarray] = {}
         alens = np.asarray(r.accept_len)

@@ -62,3 +62,21 @@ def test_server_eos_and_streaming():
     # streamed tokens = completion portion of the final output
     np.testing.assert_array_equal(
         np.asarray(streamed), srv.finished[rid][len(p):])
+
+
+def test_server_with_kv_buckets_bit_exact():
+    from eagle_tpu.config import EngineConfig
+
+    eng0 = make_engine(1)
+    prompts = [np.array([5, 17, 92, 3], np.int32),
+               np.array([7, 1], np.int32)]
+    refs = [eng0.generate(p, max_new_tokens=22) for p in prompts]
+
+    ecfg_b = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256,
+                          kv_buckets=(64, 128))
+    eng = EagleEngine(eng0.params, eng0.cfg, eng0.dparams, eng0.dcfg, ecfg_b)
+    srv = EagleServer(eng, max_batch=2)
+    rids = [srv.submit(p, 22) for p in prompts]
+    outs = srv.run()
+    for rid, ref in zip(rids, refs):
+        np.testing.assert_array_equal(outs[rid], ref)
