@@ -83,6 +83,18 @@ class ChatBackend:
         self.template = TEMPLATES.get(model_type, template_vicuna)
         self.eos_token_id = eos_token_id
         self._lock = threading.Lock()  # one generation at a time
+        self._engines = {self.engine.ecfg.temperature > 0: self.engine}
+
+    def _engine_for(self, temperature: float):
+        """Per-request temperature: t>0 values are traced data on the
+        sampled-mode engine (no recompile between values); t=0 needs the
+        structurally different greedy program. Siblings share all params."""
+        sampled = temperature > 0
+        eng = self._engines.get(sampled)
+        if eng is None:
+            eng = self.engine.with_sampling(sampled)
+            self._engines[sampled] = eng
+        return eng
 
     def stream_reply(self, history: List[dict], use_eagle: bool = True,
                      max_new_tokens: int = 512,
@@ -91,13 +103,15 @@ class ChatBackend:
         compression_ratio, done} events per decode round."""
         prompt = self.template(history)
         ids = self.encode(prompt)
+        engine = self._engine_for(temperature)
         t0 = time.time()
         with self._lock:
             if use_eagle:
                 prev = len(ids)
-                for all_ids, st in self.engine.generate_stream(
+                for all_ids, st in engine.generate_stream(
                         ids, max_new_tokens=max_new_tokens,
-                        eos_token_id=self.eos_token_id):
+                        eos_token_id=self.eos_token_id,
+                        temperature=temperature or None):
                     chunk = all_ids[prev:]
                     prev = len(all_ids)
                     dt = time.time() - t0
@@ -113,9 +127,10 @@ class ChatBackend:
                     }
             else:
                 prev = len(ids)
-                for all_ids, st in self.engine.generate_vanilla_stream(
+                for all_ids, st in engine.generate_vanilla_stream(
                         ids, max_new_tokens=max_new_tokens,
-                        eos_token_id=self.eos_token_id):
+                        eos_token_id=self.eos_token_id,
+                        temperature=temperature or None):
                     chunk = all_ids[prev:]
                     prev = len(all_ids)
                     dt = time.time() - t0

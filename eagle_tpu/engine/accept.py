@@ -66,11 +66,16 @@ def accept_greedy(tree: Tree, logits: jnp.ndarray, path_len: int) -> AcceptResul
 
 
 def accept_sampled(tree: Tree, logits: jnp.ndarray, key: jax.Array,
-                   ecfg: EngineConfig, path_len: int) -> AcceptResult:
-    """Multi-round rejection walk under temperature (lossless, q(x)=1)."""
+                   ecfg: EngineConfig, path_len: int,
+                   temperature=None) -> AcceptResult:
+    """Multi-round rejection walk under temperature (lossless, q(x)=1).
+
+    `temperature` (traced scalar) overrides ecfg.temperature when given —
+    per-request temperatures without recompilation."""
     K = tree.children.shape[1]
     V = logits.shape[-1]
-    proc = process_logits(logits, ecfg.temperature, ecfg.sampling_top_k,
+    t = ecfg.temperature if temperature is None else temperature
+    proc = process_logits(logits, t, ecfg.sampling_top_k,
                           ecfg.top_p)                  # [N, V]
     probs = jax.nn.softmax(proc, axis=-1)              # [N, V] fp32
     keys = jax.random.split(key, path_len - 1)
@@ -111,7 +116,8 @@ def accept_sampled(tree: Tree, logits: jnp.ndarray, key: jax.Array,
 
 
 def accept_sampled_true_q(tree: Tree, logits: jnp.ndarray, key: jax.Array,
-                          ecfg: EngineConfig, path_len: int) -> AcceptResult:
+                          ecfg: EngineConfig, path_len: int,
+                          temperature=None) -> AcceptResult:
     """True-q multi-round rejection for *sampled* candidate trees
     (modeling_eagle.py:1398-1459).
 
@@ -125,8 +131,8 @@ def accept_sampled_true_q(tree: Tree, logits: jnp.ndarray, key: jax.Array,
     assert tree.node_probs is not None, "true_q needs a sampled tree"
     K = tree.children.shape[1]
     V = logits.shape[-1]
-    proc = process_logits(logits, ecfg.temperature, ecfg.sampling_top_k,
-                          ecfg.top_p)
+    t = ecfg.temperature if temperature is None else temperature
+    proc = process_logits(logits, t, ecfg.sampling_top_k, ecfg.top_p)
     probs = jax.nn.softmax(proc, axis=-1)                 # [N, V] target
     keys = jax.random.split(key, path_len - 1)
 

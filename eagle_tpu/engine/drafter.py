@@ -95,7 +95,8 @@ def draft_round_static(dparams: dict, dcfg: DraftConfig, spec: StaticTreeSpec,
                        n_new: jnp.ndarray, dcache: KVCache,
                        target_lm_head: Optional[jnp.ndarray] = None,
                        ecfg: Optional[EngineConfig] = None,
-                       key: Optional[jax.Array] = None) -> DraftRound:
+                       key: Optional[jax.Array] = None,
+                       temperature=None) -> DraftRound:
     """EAGLE-1 static-tree drafting: expand the fixed topology level by
     level. Deterministic mode: node token = the `rank`-th top-k token of its
     parent's draft distribution (utils_c.py tree_indices semantics).
@@ -108,6 +109,9 @@ def draft_round_static(dparams: dict, dcfg: DraftConfig, spec: StaticTreeSpec,
 
     sampled = (ecfg is not None and key is not None
                and ecfg.temperature > 0 and ecfg.acceptance == "true_q")
+    if sampled:
+        temp = (ecfg.temperature if temperature is None
+                else jnp.maximum(temperature, 1e-4))
 
     def candidate_topk(logits_rows, sub_key):
         """[n, dV] draft logits → (tokens [n, k] target-vocab, probs_tgt
@@ -116,7 +120,7 @@ def draft_round_static(dparams: dict, dcfg: DraftConfig, spec: StaticTreeSpec,
             _, tk = jax.lax.top_k(logits_rows, k)
             return draft_mod.map_draft_to_target(dparams, dcfg, tk), None
         from .sampling import process_logits
-        proc = process_logits(logits_rows, ecfg.temperature,
+        proc = process_logits(logits_rows, temp,
                               ecfg.sampling_top_k, ecfg.top_p)
         probs = jax.nn.softmax(proc, axis=-1)             # [n, dV]
         g = -jnp.log(-jnp.log(jax.random.uniform(

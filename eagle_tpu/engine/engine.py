@@ -40,6 +40,11 @@ class EngineState(NamedTuple):
     tree: Tree            # next tree to verify
     key: jax.Array
     done: jnp.ndarray     # scalar bool — sequence finished (EOS emitted)
+    # sampling temperature as *traced data*: per-request values never force a
+    # recompile, and under vmap every batch slot can carry its own. The
+    # greedy-vs-sampled program structure is still static (ecfg.temperature
+    # == 0 selects the greedy program; this field is ignored there).
+    temperature: jnp.ndarray  # scalar fp32
 
 
 class RoundOutput(NamedTuple):
@@ -129,15 +134,31 @@ class EagleEngine:
     # ------------------------------------------------------------------
 
     def _draft_round(self, dparams, ext_tokens, ext_feats, n_new, dcache,
-                     key=None):
+                     key=None, temperature=None):
         if self.static_spec is not None:
             from .drafter import draft_round_static
             return draft_round_static(dparams, self.dcfg, self.static_spec,
                                       ext_tokens, ext_feats, n_new, dcache,
                                       self._lm_head_w, ecfg=self.ecfg,
-                                      key=key)
+                                      key=key, temperature=temperature)
         return draft_round(dparams, self.dcfg, self.ecfg, ext_tokens,
                            ext_feats, n_new, dcache, self._lm_head_w)
+
+    def with_sampling(self, sampled: bool) -> "EagleEngine":
+        """Sibling engine sharing all params, with the greedy (sampled=False)
+        or sampled (sampled=True) program structure. Used to honor
+        per-request temperature: t>0 values are traced data on a sampled
+        engine; t=0 needs the structurally different greedy program."""
+        if (self.ecfg.temperature > 0) == bool(sampled):
+            return self
+        import dataclasses
+        # dparams are already quantized by our own __init__ — don't redo it
+        ecfg = dataclasses.replace(
+            self.ecfg, temperature=(1.0 if sampled else 0.0),
+            draft_quant="none")
+        return EagleEngine(self.params, self.cfg, self.dparams, self.dcfg,
+                           ecfg, eos_token_id=self.eos_token_id,
+                           sp_mesh=self.sp_mesh, sp_axis=self.sp_axis)
 
     def _bucket(self, n: int) -> int:
         """Prompt padding bucket, capped by max_len (a 128-token quantum
@@ -169,18 +190,26 @@ class EagleEngine:
     # speculative path
     # ------------------------------------------------------------------
 
-    def _prefill(self, params, dparams, tokens, prompt_len, cache, dcache, key):
+    def _prefill(self, params, dparams, tokens, prompt_len, cache, dcache,
+                 key, temperature=None):
         """Prompt prefill + first draft tree (utils.py:232-255 analog).
 
         tokens: [1, Tp] padded; prompt_len: scalar int32 ≤ Tp. With
         `sp_mesh` configured, the prompt forward runs sequence-parallel
         (ring attention over the mesh axis — parallel/ring_attention.py) and
         the produced K/V are written into the decode cache, resharded to its
-        head-parallel layout by XLA.
+        head-parallel layout by XLA. `temperature` (traced scalar, optional)
+        overrides ecfg.temperature for this request; it rides in the state.
         """
+        if temperature is None:
+            temperature = jnp.float32(self.ecfg.temperature)
         Tp = tokens.shape[1]
         S = cache.max_len
+        # sliding-window targets must take the standard prefill: ring
+        # attention is pure-causal and would silently change attention
+        # extents vs the decode path (ADVICE r1)
         if (self.sp_mesh is not None and self.cfg.num_experts == 0
+                and self.cfg.sliding_window is None
                 and Tp % self.sp_mesh.shape[self.sp_axis] == 0):
             from ..parallel.ring_attention import prefill_sp
 
@@ -201,7 +230,7 @@ class EagleEngine:
         last_logits = transformer.lm_head(
             params, self.cfg, res.hidden[0, prompt_len - 1])      # [V] fp32
         key, k1, k_draft = jax.random.split(key, 3)
-        root = self._pick_token(last_logits, k1)
+        root = self._pick_token(last_logits, k1, temperature)
         cache = with_length(res.cache, prompt_len[None])
 
         feats = _target_feats(res, self.dcfg.version)[0]           # [Tp, F]
@@ -209,20 +238,23 @@ class EagleEngine:
             [tokens[0, 1:], jnp.zeros((1,), jnp.int32)]
         ).at[prompt_len - 1].set(root)
         dr = self._draft_round(dparams, ext_tokens, feats, prompt_len, dcache,
-                               key=k_draft)
+                               key=k_draft, temperature=temperature)
         tokens_buf = jnp.zeros((1, S), jnp.int32)
         tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, tokens, (0, 0))
         return EngineState(tokens=tokens_buf, length=prompt_len, cache=cache,
                            dcache=dr.dcache, tree=dr.tree, key=key,
-                           done=jnp.bool_(False))
+                           done=jnp.bool_(False), temperature=temperature)
 
-    def _pick_token(self, logits: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    def _pick_token(self, logits: jnp.ndarray, key: jax.Array,
+                    temperature=None) -> jnp.ndarray:
         e = self.ecfg
         if e.temperature == 0.0:
             return jnp.argmax(logits).astype(jnp.int32)
         from .sampling import process_logits
-        p = jax.nn.softmax(process_logits(logits, e.temperature,
-                                          e.sampling_top_k, e.top_p))
+        t = (jnp.float32(e.temperature) if temperature is None
+             else jnp.maximum(temperature, 1e-4))
+        p = jax.nn.softmax(process_logits(logits, t, e.sampling_top_k,
+                                          e.top_p))
         return categorical(key, p)
 
     def _round(self, params, dparams, state: EngineState,
@@ -265,16 +297,19 @@ class EagleEngine:
 
         # --- acceptance (utils.py:337-416)
         key, k_acc, k_bonus, k_draft = jax.random.split(state.key, 4)
+        temp = jnp.maximum(state.temperature, 1e-4)
         if e.temperature == 0.0:
             acc = accept_mod.accept_greedy(tree, logits, self.path_len)
             bonus = jnp.argmax(acc.sample_p).astype(jnp.int32)
         elif tree.node_probs is not None:
             # sampled candidates → true-q rule (modeling_eagle.py:1398-1459)
             acc = accept_mod.accept_sampled_true_q(tree, logits, k_acc, e,
-                                                   self.path_len)
+                                                   self.path_len,
+                                                   temperature=temp)
             bonus = categorical(k_bonus, acc.sample_p)
         else:
-            acc = accept_mod.accept_sampled(tree, logits, k_acc, e, self.path_len)
+            acc = accept_mod.accept_sampled(tree, logits, k_acc, e,
+                                            self.path_len, temperature=temp)
             bonus = categorical(k_bonus, acc.sample_p)
 
         # --- commit tokens + compact KV (utils.py:419-452)
@@ -302,17 +337,25 @@ class EagleEngine:
         ).at[acc.accept_len].set(bonus)
         ext_feats = feats[acc.path]                                 # [PATH, F]
         dr = self._draft_round(dparams, ext_tokens, ext_feats, n_acc,
-                               state.dcache, key=k_draft)
+                               state.dcache, key=k_draft,
+                               temperature=state.temperature)
 
         new_state = EngineState(tokens=tokens_buf, length=Lc + n_acc,
                                 cache=cache, dcache=dr.dcache, tree=dr.tree,
-                                key=key, done=done)
+                                key=key, done=done,
+                                temperature=state.temperature)
         return new_state, RoundOutput(new_tokens=path_tokens,
                                       accept_len=n_acc - 1, done=done)
 
+    def _temp(self, temperature: Optional[float]) -> jnp.ndarray:
+        """Effective request temperature as a traced fp32 scalar."""
+        return jnp.float32(self.ecfg.temperature if temperature is None
+                           else temperature)
+
     def generate(self, prompt_ids, max_new_tokens: int = 512,
                  eos_token_id: Optional[int] = None, seed: int = 0,
-                 log: bool = False, details: bool = False):
+                 log: bool = False, details: bool = False,
+                 temperature: Optional[float] = None):
         """Speculative generation (eagenerate analog). Returns np token ids
         (prompt + completion); with log=True also (new_tokens, rounds); with
         details=True returns (ids, stats-dict incl. per-round accept_lens)."""
@@ -329,7 +372,8 @@ class EagleEngine:
             prefill = jax.jit(self._prefill, donate_argnums=(4, 5))
             self._prefill_jit[Tp] = prefill
         state = prefill(self.params, self.dparams, jnp.asarray(padded),
-                        jnp.int32(Lp), cache, dcache, key)
+                        jnp.int32(Lp), cache, dcache, key,
+                        self._temp(temperature))
 
         out = list(prompt[0])
         rounds = 0
@@ -420,7 +464,8 @@ class EagleEngine:
         return idx
 
     def generate_fused(self, prompt_ids, max_new_tokens: int = 512,
-                       seed: int = 0, log: bool = False):
+                       seed: int = 0, log: bool = False,
+                       temperature: Optional[float] = None):
         """Speculative generation with prefill + all rounds in two device
         dispatches total. EOS stop requires the engine to be constructed
         with `eos_token_id`. May overshoot max_new_tokens by up to one
@@ -436,16 +481,17 @@ class EagleEngine:
         fn = self._prefill_jit.get(kf)
         if fn is None:
             def prefill_and_rounds(params, dparams, toks, plen, cache,
-                                   dcache, key, budget):
+                                   dcache, key, budget, temp):
                 st = self._prefill(params, dparams, toks, plen, cache,
-                                   dcache, key)
+                                   dcache, key, temp)
                 st, rounds = self._rounds_loop(params, dparams, st, budget)
                 return st.tokens, st.length, rounds
             fn = jax.jit(prefill_and_rounds, donate_argnums=(4, 5))
             self._prefill_jit[kf] = fn
         toks, length, rounds = fn(self.params, self.dparams,
                                   jnp.asarray(padded), jnp.int32(Lp), cache,
-                                  dcache, key, jnp.int32(max_new_tokens))
+                                  dcache, key, jnp.int32(max_new_tokens),
+                                  self._temp(temperature))
         out = np.asarray(toks[0, : int(length)])
         # trim overshoot; respect EOS if configured
         limit = Lp + max_new_tokens
@@ -460,7 +506,8 @@ class EagleEngine:
         return out
 
     def generate_batch_fused(self, prompts, max_new_tokens: int = 512,
-                             seed: int = 0):
+                             seed: int = 0,
+                             temperature: Optional[float] = None):
         """Batched + fused: the whole batch's decode is ONE device dispatch
         (vmapped rounds inside lax.while_loop, per-sequence done/budget
         flags). The serving configuration: weight streaming is amortized
@@ -481,10 +528,10 @@ class EagleEngine:
         fn = self._prefill_jit.get(kf)
         if fn is None:
             def run(params, dparams, toks, plens, cache, dcache, keys,
-                    budget):
+                    budget, temp):
                 state = jax.vmap(
-                    self._prefill, in_axes=(None, None, 0, 0, 0, 0, 0)
-                )(params, dparams, toks, plens, cache, dcache, keys)
+                    self._prefill, in_axes=(None, None, 0, 0, 0, 0, 0, None)
+                )(params, dparams, toks, plens, cache, dcache, keys, temp)
                 L0 = state.length
                 buckets = self._kv_buckets()
 
@@ -522,7 +569,8 @@ class EagleEngine:
             self._prefill_jit[kf] = fn
         toks, lengths = fn(self.params, self.dparams, jnp.asarray(padded),
                            plens, caches[0], caches[1], keys,
-                           jnp.int32(max_new_tokens))
+                           jnp.int32(max_new_tokens),
+                           self._temp(temperature))
         toks = np.asarray(toks)
         lengths = np.asarray(lengths)
         outs = []
@@ -541,7 +589,8 @@ class EagleEngine:
     # batched speculative generation (modeling_eagle.py EAGLE bs>1 analog)
     # ------------------------------------------------------------------
 
-    def generate_batch(self, prompts, max_new_tokens: int = 512, seed: int = 0):
+    def generate_batch(self, prompts, max_new_tokens: int = 512,
+                       seed: int = 0, temperature: Optional[float] = None):
         """Batched speculative generation with per-sequence finish flags —
         the behavioral equivalent of the reference's standalone batched path
         (modeling_eagle.py:1555-1736 `EAGLE.generate`): every sequence keeps
@@ -570,10 +619,11 @@ class EagleEngine:
         prefill_b = self._prefill_jit.get(kb)
         if prefill_b is None:
             prefill_b = jax.jit(jax.vmap(
-                self._prefill, in_axes=(None, None, 0, 0, 0, 0, 0)))
+                self._prefill, in_axes=(None, None, 0, 0, 0, 0, 0, None)))
             self._prefill_jit[kb] = prefill_b
         state = prefill_b(self.params, self.dparams, jnp.asarray(padded),
-                          plens, caches[0], caches[1], keys)
+                          plens, caches[0], caches[1], keys,
+                          self._temp(temperature))
 
         round_b = self._round_jit_batched
         if round_b is None:
@@ -605,7 +655,8 @@ class EagleEngine:
         return [np.asarray(o) for o in outs]
 
     def generate_stream(self, prompt_ids, max_new_tokens: int = 512,
-                        eos_token_id: Optional[int] = None, seed: int = 0):
+                        eos_token_id: Optional[int] = None, seed: int = 0,
+                        temperature: Optional[float] = None):
         """Streaming speculative generation (ea_generate, ea_model.py:383-485
         analog): yields (all_ids_so_far, round_stats) after every decode
         round, for token-streaming UIs."""
@@ -621,7 +672,8 @@ class EagleEngine:
             prefill = jax.jit(self._prefill, donate_argnums=(4, 5))
             self._prefill_jit[Tp] = prefill
         state = prefill(self.params, self.dparams, jnp.asarray(padded),
-                        jnp.int32(Lp), cache, dcache, key)
+                        jnp.int32(Lp), cache, dcache, key,
+                        self._temp(temperature))
         out = list(prompt[0])
         new_tokens = rounds = 0
         while new_tokens < max_new_tokens:
@@ -647,7 +699,8 @@ class EagleEngine:
     # vanilla baseline (naivegenerate, ea_model.py:306-382)
     # ------------------------------------------------------------------
 
-    def _vanilla_prefill(self, params, tokens, prompt_len, cache, key):
+    def _vanilla_prefill(self, params, tokens, prompt_len, cache, key,
+                         temperature=None):
         Tp = tokens.shape[1]
         S = cache.max_len
         pos = jnp.arange(Tp, dtype=jnp.int32)[None]
@@ -656,16 +709,18 @@ class EagleEngine:
         logits = transformer.lm_head(params, self.cfg,
                                      res.hidden[0, prompt_len - 1])
         key, k1 = jax.random.split(key)
-        nxt = self._pick_token(logits, k1)
+        nxt = self._pick_token(logits, k1, temperature)
         return with_length(res.cache, prompt_len[None]), nxt, key
 
     def _vanilla_step(self, params, cache, token, key,
-                      kv_limit: Optional[int] = None):
+                      kv_limit: Optional[int] = None, temperature=None):
         if kv_limit is not None and kv_limit < cache.max_len:
             small = KVCache(k=cache.k[:, :, :, :kv_limit, :],
                             v=cache.v[:, :, :, :kv_limit, :],
                             length=cache.length)
-            new_small, nxt, key = self._vanilla_step(params, small, token, key)
+            new_small, nxt, key = self._vanilla_step(params, small, token,
+                                                     key,
+                                                     temperature=temperature)
             merged = KVCache(
                 k=cache.k.at[:, :, :, :kv_limit, :].set(new_small.k),
                 v=cache.v.at[:, :, :, :kv_limit, :].set(new_small.v),
@@ -678,24 +733,26 @@ class EagleEngine:
                                   cache, pos, mask)
         logits = transformer.lm_head(params, self.cfg, res.hidden[0, 0])
         key, k1 = jax.random.split(key)
-        nxt = self._pick_token(logits, k1)
+        nxt = self._pick_token(logits, k1, temperature)
         return res.cache, nxt, key
 
-    def _vanilla_scan(self, params, cache, token, key, n_steps: int):
+    def _vanilla_scan(self, params, cache, token, key, n_steps: int,
+                      temperature=None):
         """Fused device-side decode: one dispatch for n_steps tokens."""
         buckets = self._kv_buckets()
 
         def body(carry, _):
             cache, token, key = carry
             if buckets is None:
-                new_cache, nxt, key = self._vanilla_step(params, cache, token,
-                                                         key)
+                new_cache, nxt, key = self._vanilla_step(
+                    params, cache, token, key, temperature=temperature)
             else:
                 idx = self._bucket_index(cache.length[0], buckets)
                 new_cache, nxt, key = jax.lax.switch(
                     idx,
                     [(lambda c, t, k, b=b: self._vanilla_step(
-                        params, c, t, k, kv_limit=b)) for b in buckets],
+                        params, c, t, k, kv_limit=b, temperature=temperature))
+                     for b in buckets],
                     cache, token, key)
             return (new_cache, nxt, key), token
 
@@ -705,7 +762,8 @@ class EagleEngine:
 
     def generate_vanilla_stream(self, prompt_ids, max_new_tokens: int = 512,
                                 eos_token_id: Optional[int] = None,
-                                seed: int = 0):
+                                seed: int = 0,
+                                temperature: Optional[float] = None):
         """Streaming vanilla decoding (naive_generate, ea_model.py:486-558
         analog): yields (all_ids_so_far, stats) per token."""
         prompt = np.asarray(prompt_ids, np.int32).reshape(1, -1)
@@ -717,12 +775,13 @@ class EagleEngine:
         cache = init_cache(c.num_layers, 1, c.num_kv_heads, self._tgt_len(),
                            c.head_dim, dtype=c.dtype)
         key = jax.random.PRNGKey(seed)
+        temp = self._temp(temperature)
         prefill = self._vanilla_prefill_jit.get(Tp)
         if prefill is None:
             prefill = jax.jit(self._vanilla_prefill, donate_argnums=(3,))
             self._vanilla_prefill_jit[Tp] = prefill
         cache, token, key = prefill(self.params, jnp.asarray(padded),
-                                    jnp.int32(Lp), cache, key)
+                                    jnp.int32(Lp), cache, key, temp)
         out = list(prompt[0])
         for n in range(max_new_tokens):
             t = int(token)
@@ -733,12 +792,13 @@ class EagleEngine:
                 break
             if len(out) + 1 >= e.max_len:
                 break
-            cache, token, key = self._vanilla_step_jit(self.params, cache,
-                                                       token, key)
+            cache, token, key = self._vanilla_step_jit(
+                self.params, cache, token, key, temperature=temp)
 
     def generate_vanilla(self, prompt_ids, max_new_tokens: int = 512,
                          eos_token_id: Optional[int] = None, seed: int = 0,
-                         fused: bool = False):
+                         fused: bool = False,
+                         temperature: Optional[float] = None):
         prompt = np.asarray(prompt_ids, np.int32).reshape(1, -1)
         Lp = prompt.shape[1]
         Tp = self._bucket(Lp)
@@ -748,13 +808,14 @@ class EagleEngine:
         cache = init_cache(c.num_layers, 1, c.num_kv_heads, self._tgt_len(),
                            c.head_dim, dtype=c.dtype)
         key = jax.random.PRNGKey(seed)
+        temp = self._temp(temperature)
 
         prefill = self._vanilla_prefill_jit.get(Tp)
         if prefill is None:
             prefill = jax.jit(self._vanilla_prefill, donate_argnums=(3,))
             self._vanilla_prefill_jit[Tp] = prefill
         cache, token, key = prefill(self.params, jnp.asarray(padded),
-                                    jnp.int32(Lp), cache, key)
+                                    jnp.int32(Lp), cache, key, temp)
         out = list(prompt[0])
         if fused:
             scan = self._vanilla_scan_jit.get(max_new_tokens)
@@ -763,7 +824,8 @@ class EagleEngine:
                     self._vanilla_scan, n_steps=max_new_tokens),
                     donate_argnums=(1,))
                 self._vanilla_scan_jit[max_new_tokens] = scan
-            toks = np.asarray(scan(self.params, cache, token, key))
+            toks = np.asarray(scan(self.params, cache, token, key,
+                                   temperature=temp))
             for t in toks:
                 out.append(int(t))
                 if eos_token_id is not None and t == eos_token_id:
@@ -776,8 +838,8 @@ class EagleEngine:
                 break
             if len(out) + 1 >= e.max_len:
                 break
-            cache, token, key = self._vanilla_step_jit(self.params, cache,
-                                                       token, key)
+            cache, token, key = self._vanilla_step_jit(
+                self.params, cache, token, key, temperature=temp)
         return np.asarray(out)
 
 

@@ -21,9 +21,10 @@ def process_logits(logits: jnp.ndarray, temperature: float = 1.0,
     Filter order matches HF's LogitsProcessorList as assembled by
     prepare_logits_processor (utils.py:50-57): temperature, then top-k, then
     top-p. `top_k=0` / `top_p` ∈ {0, 1} disable the respective filters.
-    `temperature` must be > 0 here — greedy (temperature 0) never calls this.
+    `temperature` must be > 0 here — greedy (temperature 0) never calls
+    this. It may be a traced scalar (per-request temperature).
     """
-    logits = logits.astype(jnp.float32) / jnp.float32(temperature)
+    logits = logits.astype(jnp.float32) / jnp.asarray(temperature, jnp.float32)
     if top_k and top_k > 0:
         kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
         logits = jnp.where(logits < kth, NEG_INF, logits)

@@ -45,6 +45,7 @@ class _Request:
     prompt: np.ndarray
     max_new: int
     seed: int
+    temperature: Optional[float] = None  # None → engine default
 
 
 class EagleServer:
@@ -62,11 +63,13 @@ class EagleServer:
     # ------------------------------------------------------------------
 
     def submit(self, prompt_ids, max_new_tokens: int = 512,
-               seed: int = 0) -> int:
+               seed: int = 0, temperature: Optional[float] = None) -> int:
+        """`temperature` (t>0 only; requires a sampled-mode engine) rides as
+        traced per-slot data — mixed temperatures in one batch are fine."""
         rid = self._next_id
         self._next_id += 1
         self.queue.append(_Request(rid, np.asarray(prompt_ids, np.int32),
-                                   max_new_tokens, seed))
+                                   max_new_tokens, seed, temperature))
         self.outputs[rid] = list(np.asarray(prompt_ids, np.int32))
         return rid
 
@@ -94,7 +97,8 @@ class EagleServer:
             eng._prefill_jit[Tp] = prefill
         return prefill(eng.params, eng.dparams, jnp.asarray(padded),
                        jnp.int32(Lp), cache, dcache,
-                       jax.random.PRNGKey(req.seed))
+                       jax.random.PRNGKey(req.seed),
+                       eng._temp(req.temperature))
 
     def _insert(self, slot_idx: int, st: EngineState):
         self._state = jax.tree.map(
@@ -133,8 +137,12 @@ class EagleServer:
         buckets = eng._kv_buckets()
         kv_limit = None
         if buckets is not None:
-            need = int(np.asarray(self._state.length).max()) \
-                + eng.ecfg.tree_size + eng.path_len + 1
+            # max length over ACTIVE slots only — a freed slot's stale
+            # length must not pin the batch to a large bucket (ADVICE r1)
+            lens = np.asarray(self._state.length)
+            live = [int(lens[i]) for i, s in enumerate(self.slots)
+                    if s.active]
+            need = max(live) + eng.ecfg.tree_size + eng.path_len + 1
             kv_limit = next((b for b in buckets if need <= b), buckets[-1])
         fn = self._round_b.get(kv_limit)
         if fn is None:

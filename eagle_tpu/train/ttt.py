@@ -108,9 +108,12 @@ def ttt_forward(dparams: dict, dcfg: DraftConfig, taps: jnp.ndarray,
     """Run `length` TTT steps; return losses/metrics.
 
     taps: [B, T, 3H] fused target features (UNshifted).
-    input_ids / target_logits / loss_mask: already left-shifted once by the
-    caller (dataprepare semantics): input_ids[t] = token t+1,
-    target_logits[t] = target's logits at position t+1.
+    input_ids / target_logits: already left-shifted once by the caller
+    (dataprepare semantics): input_ids[t] = token t+1, target_logits[t] =
+    target's logits at position t+1.
+    loss_mask: [B, T] — passed UNSHIFTED; this function shifts it at the
+    end of each step internally (matching the reference dataprepare, which
+    only shifts the mask per step — traineagle3/cnets.py loss loop).
     pad_mask: [B, T] bool — True at real (non-padding) positions.
     """
     lp = dparams["layers"][0]
