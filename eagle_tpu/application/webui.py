@@ -20,51 +20,25 @@ from typing import Callable, Iterator, List, Optional
 
 
 # ---------------------------------------------------------------------------
-# chat templates (webui.py:101-142 analog)
+# chat templates — shared with the eval harness (single source of truth;
+# webui.py:101-142 analog). History dicts are converted to the harness's
+# (turns, answers) form.
 # ---------------------------------------------------------------------------
 
-def template_vicuna(history: List[dict]) -> str:
-    out = ("A chat between a curious user and an artificial intelligence "
-           "assistant. The assistant gives helpful, detailed, and polite "
-           "answers to the user's questions.")
-    for m in history:
-        if m["role"] == "user":
-            out += f" USER: {m['content']} ASSISTANT:"
-        else:
-            out += f" {m['content']}</s>"
-    return out
+def _history_wrap(fn):
+    def t(history: List[dict]) -> str:
+        turns = [m["content"] for m in history if m["role"] == "user"]
+        answers = [m["content"] for m in history if m["role"] == "assistant"]
+        return fn(turns, answers)
+    return t
 
 
-def template_llama2(history: List[dict]) -> str:
-    sys_p = ("You are a helpful, respectful and honest assistant.")
-    out = f"[INST] <<SYS>>\n{sys_p}\n<</SYS>>\n\n"
-    first = True
-    for m in history:
-        if m["role"] == "user":
-            out += (m["content"] + " [/INST]") if first else \
-                f"[INST] {m['content']} [/INST]"
-            first = False
-        else:
-            out += f" {m['content']} </s><s>"
-    return out
+def _templates():
+    from ..evaluation import harness
+    return {k: _history_wrap(f) for k, f in harness.CHAT_TEMPLATES.items()}
 
 
-def template_llama3(history: List[dict]) -> str:
-    out = ("<|begin_of_text|><|start_header_id|>system<|end_header_id|>\n\n"
-           "You are a helpful assistant.<|eot_id|>")
-    for m in history:
-        out += (f"<|start_header_id|>{m['role']}<|end_header_id|>\n\n"
-                f"{m['content']}<|eot_id|>")
-    out += "<|start_header_id|>assistant<|end_header_id|>\n\n"
-    return out
-
-
-TEMPLATES = {
-    "vicuna": template_vicuna,
-    "llama2": template_llama2,
-    "llama3": template_llama3,
-    "mixtral": template_llama2,
-}
+TEMPLATES = _templates()
 
 
 # ---------------------------------------------------------------------------
@@ -80,7 +54,7 @@ class ChatBackend:
         self.engine = engine
         self.encode = encode
         self.decode = decode
-        self.template = TEMPLATES.get(model_type, template_vicuna)
+        self.template = TEMPLATES.get(model_type, TEMPLATES["vicuna"])
         self.eos_token_id = eos_token_id
         self._lock = threading.Lock()  # one generation at a time
         self._engines = {self.engine.ecfg.temperature > 0: self.engine}

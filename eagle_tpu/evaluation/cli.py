@@ -31,6 +31,11 @@ def main(argv=None):
     ap.add_argument("--answer-file", required=True)
     ap.add_argument("--model-id", default="eagle-tpu")
     ap.add_argument("--mode", choices=["eagle", "baseline"], default="eagle")
+    ap.add_argument("--model-type", default="vicuna",
+                    choices=["vicuna", "llama2", "llama3", "mixtral", "qwen",
+                             "hf"],
+                    help="chat template; 'hf' uses the tokenizer's own "
+                         "apply_chat_template")
     ap.add_argument("--use-eagle3", action="store_true")
     ap.add_argument("--total-token", type=int, default=60)
     ap.add_argument("--depth", type=int, default=5)
@@ -80,14 +85,21 @@ def main(argv=None):
     engine = EagleEngine(params, cfg, dparams, dcfg, ecfg,
                          eos_token_id=tok.eos_token_id)
 
+    template = (harness.hf_chat_template(tok) if args.model_type == "hf"
+                else harness.CHAT_TEMPLATES[args.model_type])
+    # templates carry their own special tokens — don't re-add BOS on encode
     records = harness.run_benchmark(
         harness.make_generate_fn(engine, args.mode),
-        encode_fn=lambda s: tok(s, return_tensors="np").input_ids[0],
+        encode_fn=lambda s: tok(s, return_tensors="np",
+                                add_special_tokens=(args.model_type
+                                                    in ("vicuna", "llama2"))
+                                ).input_ids[0],
         decode_fn=lambda ids: tok.decode(ids, skip_special_tokens=True),
         questions=questions,
         out_file=args.answer_file,
         model_id=args.model_id,
         max_new_tokens=args.max_new_tokens,
+        template=template,
         shard=args.shard,
         num_shards=args.num_shards,
     )

@@ -47,6 +47,68 @@ def default_chat_template(turns: List[str], answers: List[str]) -> str:
     return out
 
 
+def template_llama2(turns: List[str], answers: List[str]) -> str:
+    """llama-2-chat conversation format (the reference's
+    gen_ea_answer_llama2chat.py uses fastchat's llama-2 template)."""
+    sys_p = "You are a helpful, respectful and honest assistant."
+    out = f"[INST] <<SYS>>\n{sys_p}\n<</SYS>>\n\n"
+    for i, turn in enumerate(turns):
+        out += (turn + " [/INST]") if i == 0 else f"[INST] {turn} [/INST]"
+        if i < len(answers):
+            out += f" {answers[i]} </s><s>"
+    return out
+
+
+def template_llama3(turns: List[str], answers: List[str]) -> str:
+    """llama-3 instruct format (gen_ea_answer_llama3chat.py:147-165 via
+    tokenizer.apply_chat_template)."""
+    out = ("<|begin_of_text|><|start_header_id|>system<|end_header_id|>\n\n"
+           "You are a helpful assistant.<|eot_id|>")
+    for i, turn in enumerate(turns):
+        out += (f"<|start_header_id|>user<|end_header_id|>\n\n"
+                f"{turn}<|eot_id|>")
+        if i < len(answers):
+            out += (f"<|start_header_id|>assistant<|end_header_id|>\n\n"
+                    f"{answers[i]}<|eot_id|>")
+    out += "<|start_header_id|>assistant<|end_header_id|>\n\n"
+    return out
+
+
+def template_qwen(turns: List[str], answers: List[str]) -> str:
+    """ChatML format (qwen2/qwen3 targets; gen_ea_answer_qwen3.py uses
+    fastchat's qwen3 conversation template)."""
+    out = ("<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n")
+    for i, turn in enumerate(turns):
+        out += f"<|im_start|>user\n{turn}<|im_end|>\n"
+        if i < len(answers):
+            out += f"<|im_start|>assistant\n{answers[i]}<|im_end|>\n"
+    out += "<|im_start|>assistant\n"
+    return out
+
+
+CHAT_TEMPLATES = {
+    "vicuna": default_chat_template,
+    "llama2": template_llama2,
+    "llama3": template_llama3,
+    "mixtral": template_llama2,
+    "qwen": template_qwen,
+}
+
+
+def hf_chat_template(tokenizer) -> Callable:
+    """Use the tokenizer's own chat template (the reference's modern path,
+    gen_ea_answer_ds.py:147/226 `tokenizer.apply_chat_template`)."""
+    def fn(turns: List[str], answers: List[str]) -> str:
+        msgs = []
+        for i, t in enumerate(turns):
+            msgs.append({"role": "user", "content": t})
+            if i < len(answers):
+                msgs.append({"role": "assistant", "content": answers[i]})
+        return tokenizer.apply_chat_template(msgs, tokenize=False,
+                                             add_generation_prompt=True)
+    return fn
+
+
 def run_benchmark(
     generate_fn: Callable,           # (prompt_ids, max_new) -> (ids, stats)
     encode_fn: Callable[[str], np.ndarray],

@@ -233,26 +233,75 @@ def dump_features(params: dict, cfg: ModelConfig, sequences: Iterable[dict],
     return n
 
 
+def _load_shifted(f, max_len: int):
+    """One dumped shard → shifted (ids, feats, target, loss_mask) arrays
+    (CustomDataset, train/main.py:134-175: shift ids/features left by one)."""
+    d = np.load(f)
+    hs = d["hidden_state"][:max_len]
+    ids = d["input_ids"][:max_len]
+    lm = d["loss_mask"][:max_len].astype(np.float32).copy()
+    ids_shift = np.concatenate([ids[1:], [0]])
+    target = np.concatenate([hs[1:], np.zeros((1, hs.shape[1]), hs.dtype)])
+    lm[-1] = 0.0
+    return ids_shift, hs, target, lm
+
+
 def load_feature_dataset(path: str, max_len: int = 2048):
-    """Yield training batches of size 1 from dumped shards (CustomDataset,
-    train/main.py:134-175 semantics: shift ids/features left by one)."""
+    """Yield training batches of size 1 from dumped shards."""
     files = sorted(
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".npz"))
     for f in files:
-        d = np.load(f)
-        hs = d["hidden_state"][:max_len]
-        ids = d["input_ids"][:max_len]
-        lm = d["loss_mask"][:max_len].astype(np.float32)
-        T = len(ids)
-        ids_shift = np.concatenate([ids[1:], [0]])
-        target = np.concatenate([hs[1:], np.zeros((1, hs.shape[1]),
-                                                  hs.dtype)])
-        lm = lm.copy()
-        lm[-1] = 0.0
+        ids_shift, hs, target, lm = _load_shifted(f, max_len)
+        T = len(ids_shift)
         yield {
             "input_ids": jnp.asarray(ids_shift[None]),
             "feats": jnp.asarray(hs[None]),
             "target_feats": jnp.asarray(target[None]),
             "loss_mask": jnp.asarray(lm[None]),
             "pad_mask": jnp.ones((1, T), bool),
+        }
+
+
+def load_feature_dataset_batched(path: str, batch_size: int,
+                                 max_len: int = 2048, pad_to: int = 0,
+                                 shuffle_seed: Optional[int] = None):
+    """Yield fixed-shape batches of `batch_size` from dumped shards
+    (DataLoader + paddingtensor collate, train/main.py:176-212 analog).
+
+    Samples are right-padded to `pad_to` (or the batch max rounded up to a
+    128 quantum when 0 — one compile per length bucket). A trailing partial
+    batch is padded by repeating the last sample with a zero loss mask."""
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".npz"))
+    if shuffle_seed is not None:
+        rng = np.random.default_rng(shuffle_seed)
+        rng.shuffle(files)
+    for i in range(0, len(files), batch_size):
+        chunk = [_load_shifted(f, max_len) for f in files[i:i + batch_size]]
+        n_real = len(chunk)
+        while len(chunk) < batch_size:
+            chunk.append(chunk[-1])
+        lens = [len(c[0]) for c in chunk]
+        T = pad_to or min(max_len, -(-max(lens) // 128) * 128)
+        H = chunk[0][1].shape[1]
+        B = batch_size
+        ids = np.zeros((B, T), np.int32)
+        feats = np.zeros((B, T, H), chunk[0][1].dtype)
+        target = np.zeros((B, T, H), chunk[0][2].dtype)
+        lm = np.zeros((B, T), np.float32)
+        pad = np.zeros((B, T), bool)
+        for b, (ii, ff, tt, mm) in enumerate(chunk):
+            L = min(len(ii), T)
+            ids[b, :L] = ii[:L]
+            feats[b, :L] = ff[:L]
+            target[b, :L] = tt[:L]
+            if b < n_real:
+                lm[b, :L] = mm[:L]
+            pad[b, :L] = True
+        yield {
+            "input_ids": jnp.asarray(ids),
+            "feats": jnp.asarray(feats),
+            "target_feats": jnp.asarray(target),
+            "loss_mask": jnp.asarray(lm),
+            "pad_mask": jnp.asarray(pad),
         }
