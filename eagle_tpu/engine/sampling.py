@@ -43,9 +43,16 @@ def process_logits(logits: jnp.ndarray, temperature: float = 1.0,
 
 
 def categorical(key: jax.Array, probs: jnp.ndarray) -> jnp.ndarray:
-    """Sample an index from a probability vector [..., V] (Gumbel-free CDF
-    inversion for exact matching with probability semantics)."""
-    u = jax.random.uniform(key, probs.shape[:-1] + (1,), jnp.float32)
-    cum = jnp.cumsum(probs, axis=-1)
-    total = cum[..., -1:]
-    return jnp.argmax(cum >= u * total, axis=-1).astype(jnp.int32)
+    """Sample an index from an (unnormalized) probability vector [..., V]
+    via the Gumbel-max trick: argmax(log p + G), G ~ Gumbel(0,1).
+
+    Exactly categorical in distribution, and — unlike CDF-inversion's cumsum
+    — argmax is a plain reduce that XLA SPMD partitions over a vocab-sharded
+    axis without materializing the [V] vector (no all-gather in TP decode;
+    the distribution-preservation gate is tests/test_losslessness_mc.py).
+    Zero-probability entries map to -inf scores and are never selected."""
+    u = jax.random.uniform(key, probs.shape, jnp.float32, 1e-20, 1.0)
+    g = -jnp.log(-jnp.log(u))
+    score = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-38)) + g,
+                      -jnp.inf)
+    return jnp.argmax(score, axis=-1).astype(jnp.int32)
