@@ -107,6 +107,39 @@ def shard_params(params: dict, mesh: Mesh, specs: dict) -> dict:
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 
 
+def zero_state_specs(tree, mesh: Mesh, axis: str = "data"):
+    """ZeRO-style PartitionSpecs for optimizer state (ds_config.json:32-41
+    analog): shard every moment tensor over `axis` along its largest
+    divisible dimension; scalars/indivisible leaves stay replicated.
+
+    With params replicated and moments sharded, XLA computes each shard's
+    slice of the AdamW update locally and all-gathers only the updated
+    params — ZeRO-1/2 semantics (sharded state + effectively sharded
+    gradient reduction) without any explicit collective code. Memory: a
+    1B-param draft head's fp32 AdamW moments drop from ~8 GB replicated to
+    ~8/N GB per device."""
+    n = mesh.shape[axis]
+
+    def spec_for(x):
+        shape = getattr(x, "shape", ())
+        if not shape:
+            return P()
+        cands = [i for i in range(len(shape)) if shape[i] % n == 0]
+        if not cands:
+            return P()
+        i = max(cands, key=lambda j: shape[j])
+        return P(*[axis if j == i else None for j in range(len(shape))])
+
+    return jax.tree.map(spec_for, tree)
+
+
+def shard_zero_state(tree, mesh: Mesh, axis: str = "data"):
+    """device_put an optax state tree with ZeRO sharding over `axis`."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        tree, zero_state_specs(tree, mesh, axis))
+
+
 def replicate(tree, mesh: Mesh):
     return jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)

@@ -82,7 +82,10 @@ def main(argv=None):
                            grad_clip=args.grad_clip)
     opt = ttt.make_optimizer(tcfg)
     trainable, _ = ttt.partition_trainable(dparams)
-    opt_state = shd.replicate(opt.init(trainable), mesh)
+    # ZeRO-analog: AdamW moments sharded over the data axis
+    # (traineagle3/ds_config.json:32-41); params stay replicated
+    opt_state = (shd.shard_zero_state(opt.init(trainable), mesh)
+                 if n_data > 1 else shd.replicate(opt.init(trainable), mesh))
 
     start_epoch = 0
     restored = ckpt.restore_train_state(

@@ -215,3 +215,64 @@ def test_moe_capacity_dispatch_matches_dense():
         out_s = jax.jit(lambda p, c: run(cfg_cap, p, c))(params_s, mk_cache())
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_train_step_zero_sharded_opt_state():
+    """ZeRO-analog optimizer-state sharding (ds_config.json:32-41): AdamW
+    moments sharded over "data" produce numerically identical updates to
+    the replicated run, and the output state keeps the input shardings
+    (no silent re-replication across steps)."""
+    cfg = tp_cfg()
+    dcfg = tiny_dcfg(3)
+    params = transformer.init_params(cfg, jax.random.PRNGKey(3))
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(4))
+    tcfg = ttt.TrainConfig(length=3)
+    opt = ttt.make_optimizer(tcfg)
+    trainable, _ = ttt.partition_trainable(dparams)
+
+    B, T = 4, 16
+    rng = np.random.default_rng(8)
+    batch_np = {
+        "input_ids": rng.integers(0, cfg.vocab_size, (B, T)).astype(np.int32),
+        "loss_mask": np.ones((B, T), np.float32),
+        "pad_mask": np.ones((B, T), bool),
+    }
+
+    def run(mesh, zero):
+        params_s = shd.shard_params(params, mesh, shd.target_param_specs(cfg))
+        dparams_s = shd.replicate(dparams, mesh)
+        os0 = opt.init(trainable)
+        os_s = (shd.shard_zero_state(os0, mesh) if zero
+                else shd.replicate(os0, mesh))
+        batch = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), NamedSharding(
+                mesh, P("data", *([None] * (x.ndim - 1))))), batch_np)
+        with jax.set_mesh(mesh):
+            step = jax.jit(lambda dp, os, b: ttt.train_step(
+                dp, os, params_s, cfg, dcfg, tcfg, opt, b))
+            dp, os_ = dparams_s, os_s
+            for _ in range(3):
+                dp, os_, m = step(dp, os_, batch)
+        return dp, os_, m
+
+    mesh = shd.make_mesh(n_data=2, n_model=4)
+    dp_ref, _, m_ref = run(mesh, zero=False)
+    dp_z, os_z, m_z = run(mesh, zero=True)
+
+    np.testing.assert_allclose(float(m_z.loss), float(m_ref.loss),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(dp_ref), jax.tree.leaves(dp_z)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+    # moments must still be data-sharded after 3 steps
+    specs = shd.zero_state_specs(os_z, mesh)
+    sharded = replicated = 0
+    for leaf, spec in zip(jax.tree.leaves(os_z), jax.tree.leaves(
+            specs, is_leaf=lambda x: isinstance(x, P))):
+        if "data" in tuple(spec):
+            got = tuple(leaf.sharding.spec)
+            assert "data" in got, (spec, got)
+            sharded += 1
+        else:
+            replicated += 1
+    assert sharded > 4  # every 2-D moment tensor (mu+nu per weight)
