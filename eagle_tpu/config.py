@@ -280,6 +280,12 @@ class EngineConfig:
     # draft only proposes; quantizing it can lower τ but never changes the
     # output distribution.
     draft_quant: str = "none"
+    # accepted-branch KV compaction:
+    #   "xla"    — gather + dynamic_update_slice (ops/kv_cache.py)
+    #   "pallas" — in-place DMA kernel (ops/pallas_attn.py:compact_rows),
+    #              B=1 rounds only; needs head_dim % 128 == 0 on real TPU
+    #              (Mosaic lane alignment) — falls back to XLA otherwise.
+    compact_impl: str = "xla"
     temperature: float = 0.0
     top_p: float = 0.0
     sampling_top_k: int = 0

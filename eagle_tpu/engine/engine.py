@@ -82,6 +82,12 @@ class EagleEngine:
         else:
             self.static_spec = None
             self.path_len = ecfg.depth + 2
+        # rows that must remain free past the committed context for one
+        # round: the commit window, plus the Pallas compaction kernel's
+        # 8-row staging/alignment margin (pallas_attn.py:compact_rows)
+        self._tail = (max(self.path_len + 1, 16)
+                      if ecfg.compact_impl == "pallas"
+                      else self.path_len + 1)
         # v1 drafting scores use the target's lm_head (cnets1.py:702,732)
         if dcfg.version == 1:
             self._lm_head_w = (params["embed"]["w"].T if cfg.tie_embeddings
@@ -166,11 +172,13 @@ class EagleEngine:
         return _bucket(n, quantum=min(128, self.ecfg.max_len))
 
     def _tgt_len(self) -> int:
-        """KV rows for the target cache: max_len + tree scratch, rounded
-        up so the Pallas kernel's KV-block grid divides evenly (the kernel
-        adapts its block size down to 128)."""
+        """KV rows for the target cache: max_len + tree scratch (+ the
+        Pallas compaction staging margin), rounded up so the Pallas
+        attention kernel's KV-block grid divides evenly (the kernel adapts
+        its block size down to 128)."""
         e = self.ecfg
-        return -(-(e.max_len + e.tree_size) // 128) * 128
+        margin = 16 if e.compact_impl == "pallas" else 0
+        return -(-(e.max_len + e.tree_size + margin) // 128) * 128
 
     def init_caches(self) -> tuple[KVCache, KVCache]:
         e, c, d = self.ecfg, self.cfg, self.dcfg
@@ -258,21 +266,23 @@ class EagleEngine:
         return categorical(key, p)
 
     def _round(self, params, dparams, state: EngineState,
-               kv_limit: Optional[int] = None):
+               kv_limit: Optional[int] = None, batched: bool = False):
         """One speculative decode round (ea_model.py:251-299 analog).
 
         kv_limit (static): run the round against only the first `kv_limit`
         KV rows — valid whenever committed length + tree + commit window fit
         inside it. Length-bucketed decoding (EngineConfig.kv_buckets) uses
         this so attention reads scale with the live context, not the
-        preallocated cache.
+        preallocated cache. `batched` (static): set by vmapped callers —
+        disables the B=1-only Pallas compaction kernel.
         """
         if kv_limit is not None and kv_limit < state.cache.max_len:
             small = state._replace(cache=KVCache(
                 k=state.cache.k[:, :, :, :kv_limit, :],
                 v=state.cache.v[:, :, :, :kv_limit, :],
                 length=state.cache.length))
-            new_small, out = self._round(params, dparams, small)
+            new_small, out = self._round(params, dparams, small,
+                                         batched=batched)
             merged = KVCache(
                 k=state.cache.k.at[:, :, :, :kv_limit, :].set(
                     new_small.cache.k),
@@ -319,16 +329,28 @@ class EagleEngine:
         n_acc = jnp.where(state.done, 0, acc.accept_len + 1)
         tokens_buf = jax.lax.dynamic_update_slice(
             state.tokens, path_tokens[None], (0, Lc))
-        cache = compact_accepted(with_length(res.cache, Lc[None]),
-                                 acc.path[None], n_acc[None])
+        use_pallas_compact = (
+            e.compact_impl == "pallas" and not batched
+            and (jax.default_backend() != "tpu"
+                 or self.cfg.head_dim % 128 == 0))
+        if use_pallas_compact:
+            from ..ops.pallas_attn import compact_rows
+            ck, cv = compact_rows(res.cache.k, res.cache.v, acc.path, Lc,
+                                  tree_size=e.tree_size,
+                                  interpret=jax.default_backend() != "tpu")
+            cache = KVCache(k=ck, v=cv, length=(Lc + n_acc)[None])
+        else:
+            cache = compact_accepted(with_length(res.cache, Lc[None]),
+                                     acc.path[None], n_acc[None])
         done = state.done
         if self.eos_token_id is not None:
             in_window = jnp.arange(self.path_len) < n_acc
             done = done | jnp.any(
                 (path_tokens == self.eos_token_id) & in_window)
         # capacity stop: no room for another round's tree + commit window
-        # (against the FULL cache size — S may be a kv_limit slice)
-        done = done | (Lc + n_acc + self.path_len + e.tree_size + 1
+        # (+ compaction staging margin; against the FULL cache size — S may
+        # be a kv_limit slice)
+        done = done | (Lc + n_acc + self._tail + e.tree_size
                        >= self._tgt_len())
 
         # --- next draft tree (utils.py:459-468)
@@ -457,7 +479,7 @@ class EagleEngine:
         and commit window. The same formula gates the vanilla scan so both
         paths see identical attention extents at identical lengths (greedy
         bit-exactness is preserved under bucketing)."""
-        need = length + self.ecfg.tree_size + self.path_len + 1
+        need = length + self.ecfg.tree_size + self._tail
         idx = jnp.int32(0)
         for b in buckets[:-1]:
             idx = idx + (need > b).astype(jnp.int32)
@@ -541,7 +563,8 @@ class EagleEngine:
                 def round_b(st, kv_limit=None):
                     st, _ = jax.vmap(
                         lambda p, dp, s: self._round(p, dp, s,
-                                                     kv_limit=kv_limit),
+                                                     kv_limit=kv_limit,
+                                                     batched=True),
                         in_axes=(None, None, 0)
                     )(params, dparams, st)
                     return st
@@ -627,8 +650,10 @@ class EagleEngine:
 
         round_b = self._round_jit_batched
         if round_b is None:
-            round_b = jax.jit(jax.vmap(self._round, in_axes=(None, None, 0)),
-                              donate_argnums=(2,))
+            round_b = jax.jit(
+                jax.vmap(lambda p, dp, s: self._round(p, dp, s, batched=True),
+                         in_axes=(None, None, 0)),
+                donate_argnums=(2,))
             self._round_jit_batched = round_b
 
         outs = [list(np.asarray(p)) for p in prompts]

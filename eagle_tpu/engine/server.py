@@ -5,9 +5,23 @@ lockstep to completion (/root/reference/eagle/modeling_eagle.py:1629-1736).
 Production serving needs *continuous* batching: requests join and leave a
 running batch. This server keeps a fixed number of slots, each holding an
 independent EngineState; every scheduler step runs ONE vmapped speculative
-round across all slots (weight streaming amortized across the batch), while
+round per slot-group (weight streaming amortized across the group), while
 finished slots are refilled from the queue via a single-sequence prefill
 scattered into the batched state.
+
+Scheduling structure:
+- Slots are partitioned into `groups` fixed-size groups, each with its own
+  batched state and its own KV bucket (EngineConfig.kv_buckets). The
+  scheduler places new requests into the group whose current bucket best
+  fits the prompt, so one long-context request only de-buckets its own
+  group — mixed-length workloads keep the length-bucketed attention win.
+  groups=1 reproduces plain whole-batch rounds (one dispatch per step);
+  more groups trade weight-streaming amortization for tighter buckets.
+- Admission is paced: at most `max_admit_per_step` prefills are dispatched
+  per step (JAX dispatch is async — the host never waits on a prefill —
+  but each prefill serializes ~a prompt forward onto the device stream, so
+  a burst of joins would otherwise stall every running sequence for many
+  prefills back to back).
 
 All shapes stay fixed (slots × static tree size); slot admission is pure
 host-side pytree scatter between round dispatches. Greedy outputs are
@@ -49,16 +63,22 @@ class _Request:
 
 
 class EagleServer:
-    def __init__(self, engine: EagleEngine, max_batch: int = 4):
+    def __init__(self, engine: EagleEngine, max_batch: int = 4,
+                 groups: int = 1, max_admit_per_step: Optional[int] = None):
+        assert max_batch % groups == 0, (max_batch, groups)
         self.engine = engine
         self.B = max_batch
-        self.slots: List[_Slot] = [_Slot() for _ in range(max_batch)]
+        self.G = groups
+        self.Bg = max_batch // groups
+        self.slots: List[List[_Slot]] = [
+            [_Slot() for _ in range(self.Bg)] for _ in range(groups)]
         self.queue: collections.deque = collections.deque()
         self.outputs: Dict[int, list] = {}
         self.finished: Dict[int, np.ndarray] = {}
         self._next_id = 0
-        self._state = None  # batched EngineState
-        self._round_b = None
+        self._states: List[Optional[EngineState]] = [None] * groups
+        self._round_b: Dict = {}  # kv_limit -> jitted vmapped round (Bg)
+        self.max_admit = max_admit_per_step or max_batch
 
     # ------------------------------------------------------------------
 
@@ -73,16 +93,15 @@ class EagleServer:
         self.outputs[rid] = list(np.asarray(prompt_ids, np.int32))
         return rid
 
-    def _ensure_state(self, template: EngineState):
-        if self._state is not None:
+    def _ensure_state(self, g: int, template: EngineState):
+        if self._states[g] is not None:
             return
         # allocate the batched state by broadcasting a template (all slots
         # start done=True → inert until a request is scattered in)
-        self._state = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (self.B,) + x.shape).copy(),
+        st = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (self.Bg,) + x.shape).copy(),
             template)
-        self._state = self._state._replace(
-            done=jnp.ones((self.B,), bool))
+        self._states[g] = st._replace(done=jnp.ones((self.Bg,), bool))
 
     def _prefill_one(self, req: _Request) -> EngineState:
         eng = self.engine
@@ -100,94 +119,132 @@ class EagleServer:
                        jax.random.PRNGKey(req.seed),
                        eng._temp(req.temperature))
 
-    def _insert(self, slot_idx: int, st: EngineState):
-        self._state = jax.tree.map(
-            lambda full, one: full.at[slot_idx].set(one), self._state, st)
+    def _insert(self, g: int, slot_idx: int, st: EngineState):
+        self._states[g] = jax.tree.map(
+            lambda full, one: full.at[slot_idx].set(one), self._states[g], st)
 
-    def _mark_done(self, slot_idx: int):
-        self._state = self._state._replace(
-            done=self._state.done.at[slot_idx].set(True))
+    def _mark_done(self, g: int, slot_idx: int):
+        self._states[g] = self._states[g]._replace(
+            done=self._states[g].done.at[slot_idx].set(True))
 
     # ------------------------------------------------------------------
 
+    def _group_bucket(self, g: int) -> Optional[int]:
+        """Current KV bucket of group g (None = no buckets configured)."""
+        eng = self.engine
+        buckets = eng._kv_buckets()
+        if buckets is None or self._states[g] is None:
+            return None
+        lens = np.asarray(self._states[g].length)
+        live = [int(lens[i]) for i, s in enumerate(self.slots[g]) if s.active]
+        if not live:
+            return buckets[0]
+        need = max(live) + eng.ecfg.tree_size + eng._tail
+        return next((b for b in buckets if need <= b), buckets[-1])
+
+    def _admit(self):
+        """Place queued requests into free slots, preferring the group whose
+        current bucket already covers the request's prompt (so short
+        requests don't land next to long-context ones), capped at
+        max_admit_per_step prefill dispatches."""
+        eng = self.engine
+        buckets = eng._kv_buckets()
+        admitted = 0
+        while self.queue and admitted < self.max_admit:
+            req = self.queue[0]
+            free = [(g, i) for g in range(self.G)
+                    for i, s in enumerate(self.slots[g]) if not s.active]
+            if not free:
+                break
+            if buckets is not None:
+                need = (len(req.prompt) + eng.ecfg.tree_size + eng._tail)
+                req_bucket = next((b for b in buckets if need <= b),
+                                  buckets[-1])
+
+                def fit(gi):
+                    g, _ = gi
+                    gb = self._group_bucket(g)
+                    if gb is None:
+                        return (0, 0)
+                    # prefer groups whose bucket matches the request's;
+                    # among those, the fullest (pack tight, keep groups hot)
+                    occupied = sum(s.active for s in self.slots[g])
+                    return (abs(gb - req_bucket), -occupied)
+
+                free.sort(key=fit)
+            g, i = free[0]
+            self.queue.popleft()
+            st = self._prefill_one(req)
+            self._ensure_state(g, st)
+            self._insert(g, i, st)
+            self.slots[g][i] = _Slot(active=True, request_id=req.request_id,
+                                     prompt_len=len(req.prompt),
+                                     max_new=req.max_new)
+            admitted += 1
+
     def step(self) -> Dict[int, np.ndarray]:
         """One scheduler iteration: admit queued requests into free slots,
-        run one vmapped round, drain per-slot outputs. Returns
-        {request_id: np tokens emitted this step}."""
+        run one vmapped round per live group, drain per-slot outputs.
+        Returns {request_id: np tokens emitted this step}."""
         eng = self.engine
-        # admission
-        for i, slot in enumerate(self.slots):
-            if slot.active or not self.queue:
-                continue
-            req = self.queue.popleft()
-            st = self._prefill_one(req)
-            self._ensure_state(st)
-            self._insert(i, st)
-            self.slots[i] = _Slot(active=True, request_id=req.request_id,
-                                  prompt_len=len(req.prompt),
-                                  max_new=req.max_new)
-
-        if self._state is None or not any(s.active for s in self.slots):
-            return {}
-
-        if self._round_b is None:
-            self._round_b = {}
-        # length-bucketed rounds (EngineConfig.kv_buckets): the host-side
-        # scheduler already syncs per step, so it picks the batch bucket
-        buckets = eng._kv_buckets()
-        kv_limit = None
-        if buckets is not None:
-            # max length over ACTIVE slots only — a freed slot's stale
-            # length must not pin the batch to a large bucket (ADVICE r1)
-            lens = np.asarray(self._state.length)
-            live = [int(lens[i]) for i, s in enumerate(self.slots)
-                    if s.active]
-            need = max(live) + eng.ecfg.tree_size + eng.path_len + 1
-            kv_limit = next((b for b in buckets if need <= b), buckets[-1])
-        fn = self._round_b.get(kv_limit)
-        if fn is None:
-            fn = jax.jit(
-                jax.vmap(lambda p, dp, s: eng._round(p, dp, s,
-                                                     kv_limit=kv_limit),
-                         in_axes=(None, None, 0)),
-                donate_argnums=(2,))
-            self._round_b[kv_limit] = fn
-        self._state, r = fn(eng.params, eng.dparams, self._state)
+        self._admit()
 
         emitted: Dict[int, np.ndarray] = {}
-        alens = np.asarray(r.accept_len)
-        toks = np.asarray(r.new_tokens)
-        rdone = np.asarray(r.done)
-        for i, slot in enumerate(self.slots):
-            if not slot.active:
+        results = []
+        # dispatch every group's round first (async), then drain — the
+        # device pipelines the group dispatches back to back
+        for g in range(self.G):
+            if self._states[g] is None or \
+                    not any(s.active for s in self.slots[g]):
                 continue
-            new = []
-            for t in toks[i, : alens[i] + 1]:
-                new.append(int(t))
-                self.outputs[slot.request_id].append(int(t))
-                slot.emitted += 1
-                if (eng.eos_token_id is not None
-                        and t == eng.eos_token_id):
-                    slot.done_reason = "eos"
-                    break
-                if slot.emitted >= slot.max_new:
-                    slot.done_reason = "length"
-                    break
-            if slot.done_reason is None and rdone[i]:
-                slot.done_reason = "capacity"
-            if new:
-                emitted[slot.request_id] = np.asarray(new, np.int32)
-            if slot.done_reason is not None:
-                self.finished[slot.request_id] = np.asarray(
-                    self.outputs.pop(slot.request_id), np.int32)
-                self.slots[i] = _Slot()
-                self._mark_done(i)
+            kv_limit = self._group_bucket(g)
+            fn = self._round_b.get(kv_limit)
+            if fn is None:
+                fn = jax.jit(
+                    jax.vmap(lambda p, dp, s: eng._round(p, dp, s,
+                                                         kv_limit=kv_limit,
+                                                         batched=True),
+                             in_axes=(None, None, 0)),
+                    donate_argnums=(2,))
+                self._round_b[kv_limit] = fn
+            self._states[g], r = fn(eng.params, eng.dparams, self._states[g])
+            results.append((g, r))
+
+        for g, r in results:
+            alens = np.asarray(r.accept_len)
+            toks = np.asarray(r.new_tokens)
+            rdone = np.asarray(r.done)
+            for i, slot in enumerate(self.slots[g]):
+                if not slot.active:
+                    continue
+                new = []
+                for t in toks[i, : alens[i] + 1]:
+                    new.append(int(t))
+                    self.outputs[slot.request_id].append(int(t))
+                    slot.emitted += 1
+                    if (eng.eos_token_id is not None
+                            and t == eng.eos_token_id):
+                        slot.done_reason = "eos"
+                        break
+                    if slot.emitted >= slot.max_new:
+                        slot.done_reason = "length"
+                        break
+                if slot.done_reason is None and rdone[i]:
+                    slot.done_reason = "capacity"
+                if new:
+                    emitted[slot.request_id] = np.asarray(new, np.int32)
+                if slot.done_reason is not None:
+                    self.finished[slot.request_id] = np.asarray(
+                        self.outputs.pop(slot.request_id), np.int32)
+                    self.slots[g][i] = _Slot()
+                    self._mark_done(g, i)
         return emitted
 
     def run(self, max_steps: int = 100000) -> Dict[int, np.ndarray]:
         """Drive until queue + slots drain; return all finished outputs."""
         for _ in range(max_steps):
-            if not self.queue and not any(s.active for s in self.slots):
+            if not self.queue and not any(
+                    s.active for grp in self.slots for s in grp):
                 break
             self.step()
         return dict(self.finished)

@@ -191,3 +191,22 @@ def test_calibrate_total_tokens_runs():
     n = calibrate_total_tokens(params, cfg, candidates=(8, 16),
                                weights=(1.0, 1.05), max_len=64, reps=2)
     assert n in (8, 16)
+
+
+def test_pallas_compaction_bit_exact():
+    """compact_impl="pallas" (in-place DMA kernel, interpreted off-TPU) must
+    reproduce the XLA-compaction engine's greedy output exactly — plain,
+    fused, and length-bucketed rounds."""
+    eng_ref = make_engine(3)
+    ref = eng_ref.generate_vanilla(PROMPT, max_new_tokens=40)
+
+    eng_p = make_engine(3, compact_impl="pallas")
+    out = eng_p.generate(PROMPT, max_new_tokens=40)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+
+    out_f = eng_p.generate_fused(PROMPT, max_new_tokens=40)
+    np.testing.assert_array_equal(out_f[: len(ref)], ref[: len(out_f)])
+
+    eng_b = make_engine(3, compact_impl="pallas", kv_buckets=(128,))
+    out_b = eng_b.generate_fused(PROMPT, max_new_tokens=40)
+    np.testing.assert_array_equal(out_b[: len(ref)], ref[: len(out_b)])

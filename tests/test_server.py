@@ -80,3 +80,52 @@ def test_server_with_kv_buckets_bit_exact():
     outs = srv.run()
     for rid, ref in zip(rids, refs):
         np.testing.assert_array_equal(outs[rid], ref)
+
+
+def test_server_grouped_buckets_bit_exact():
+    """groups=2 with mixed-length requests: outputs stay bit-exact and the
+    long-context request does not de-bucket the short group."""
+    from eagle_tpu.config import EngineConfig
+
+    eng0 = make_engine(1)
+    rng = np.random.default_rng(0)
+    short = [np.array([5, 17, 92], np.int32),
+             np.array([7, 1], np.int32)]
+    long = [rng.integers(0, 128, size=(150,)).astype(np.int32)]
+    refs = [eng0.generate(p, max_new_tokens=14) for p in short + long]
+
+    ecfg_b = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256,
+                          kv_buckets=(64, 128))
+    eng = EagleEngine(eng0.params, eng0.cfg, eng0.dparams, eng0.dcfg, ecfg_b)
+    srv = EagleServer(eng, max_batch=4, groups=2)
+    rids = [srv.submit(p, 14) for p in short + long]
+    srv.step()
+    # the scheduler must have separated short and long into different groups
+    by_group = [
+        {s.request_id for s in grp if s.active} for grp in srv.slots]
+    g_long = next(g for g, ids in enumerate(by_group) if rids[2] in ids)
+    g_short = next(g for g, ids in enumerate(by_group) if rids[0] in ids)
+    assert g_long != g_short
+    assert srv._group_bucket(g_short) < srv._group_bucket(g_long)
+    outs = srv.run()
+    for rid, ref in zip(rids, refs):
+        np.testing.assert_array_equal(outs[rid], ref)
+
+
+def test_server_admission_pacing():
+    """max_admit_per_step caps prefill dispatches per scheduler step; the
+    remaining requests stay queued (no burst stall) and still finish
+    bit-exact."""
+    eng0 = make_engine(1)
+    prompts = [np.array([i + 1, 9, 3], np.int32) for i in range(4)]
+    refs = [eng0.generate(p, max_new_tokens=10) for p in prompts]
+    srv = EagleServer(eng0, max_batch=4, max_admit_per_step=1)
+    rids = [srv.submit(p, 10) for p in prompts]
+    srv.step()
+    assert sum(s.active for grp in srv.slots for s in grp) == 1
+    assert len(srv.queue) == 3
+    srv.step()
+    assert sum(s.active for grp in srv.slots for s in grp) == 2
+    outs = srv.run()
+    for rid, ref in zip(rids, refs):
+        np.testing.assert_array_equal(outs[rid], ref)
