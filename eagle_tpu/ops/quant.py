@@ -77,3 +77,43 @@ def quantize_draft_params(dparams: dict) -> dict:
     if "lm_head" in out:
         out["lm_head"] = quantize_linear(out["lm_head"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Quantization-aware training (straight-through fake quantization)
+# ---------------------------------------------------------------------------
+
+def fake_quantize_linear(w: jnp.ndarray) -> jnp.ndarray:
+    """Quantize→dequantize with a straight-through gradient estimator.
+
+    Training the draft through this makes its weights robust to the int8
+    deployment path (quantize_draft_params), recovering the τ the
+    post-training-quantized draft loses."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    dq = jnp.clip(jnp.round(wf / scale), -127, 127) * scale
+    return (wf + jax.lax.stop_gradient(dq - wf)).astype(w.dtype)
+
+
+def fake_quantize_draft_params(dparams: dict) -> dict:
+    """Apply STE fake quantization to exactly the matrices
+    quantize_draft_params would quantize (same coverage, same per-channel
+    scaling), leaving embeddings/norms/vocab maps untouched."""
+    out = dict(dparams)
+    if "layers" in out:
+        layers = []
+        for lp in out["layers"]:
+            nlp = dict(lp)
+            for k in _QUANT_KEYS:
+                if k in nlp and not isinstance(nlp[k], dict):
+                    nlp[k] = fake_quantize_linear(nlp[k])
+            layers.append(nlp)
+        out["layers"] = layers
+    if "fc" in out and not isinstance(out["fc"].get("w"), dict):
+        fc = dict(out["fc"])
+        fc["w"] = fake_quantize_linear(fc["w"])
+        out["fc"] = fc
+    if "lm_head" in out and not isinstance(out["lm_head"], dict):
+        out["lm_head"] = fake_quantize_linear(out["lm_head"])
+    return out

@@ -51,6 +51,10 @@ class TrainConfig:
     b2: float = 0.95
     weight_decay: float = 0.01
     grad_clip: float = 0.5
+    # quantization-aware distillation: run the draft forward through STE
+    # fake-int8 weights (ops/quant.py:fake_quantize_draft_params) so the
+    # int8-deployed draft (EngineConfig.draft_quant="int8") keeps its τ
+    quant_aware: bool = False
 
 
 class TTTMetrics(NamedTuple):
@@ -263,7 +267,11 @@ def train_step(dparams: dict, opt_state, target_params: dict,
     trainable, frozen = partition_trainable(dparams)
 
     def loss_fn(tp):
-        m = ttt_forward({**tp, **frozen}, dcfg, taps, ids, tgt, lmask,
+        dp = {**tp, **frozen}
+        if tcfg.quant_aware:
+            from ..ops.quant import fake_quantize_draft_params
+            dp = fake_quantize_draft_params(dp)
+        m = ttt_forward(dp, dcfg, taps, ids, tgt, lmask,
                         batch["pad_mask"], tcfg)
         return m.loss, m
 
