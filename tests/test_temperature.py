@@ -72,3 +72,22 @@ def test_vanilla_temperature_plumbed():
     hot = eng.generate_vanilla(PROMPT, max_new_tokens=16, seed=5,
                                temperature=5.0)
     assert not np.array_equal(hot, ref)
+
+
+def test_static_tree_true_q_per_request_temperature():
+    """Sampled static trees (true-q acceptance, sampled-without-replacement
+    candidates) honor the traced per-request temperature: near-zero t
+    reproduces the greedy static-tree engine; same seed at different t>0
+    gives different samples without retracing."""
+    from eagle_tpu.ops.tree import MC_SIM_7B_63
+
+    eng = make_engine(3, tree_paths=MC_SIM_7B_63, temperature=0.9,
+                      acceptance="true_q")
+    greedy = make_engine(3, tree_paths=MC_SIM_7B_63)
+    ref = greedy.generate(PROMPT, max_new_tokens=20)
+    cold = eng.generate(PROMPT, max_new_tokens=20, seed=4, temperature=1e-4)
+    np.testing.assert_array_equal(cold[: len(ref)], ref[: len(cold)])
+    h1 = eng.generate(PROMPT, max_new_tokens=20, seed=4, temperature=1.0)
+    h2 = eng.generate(PROMPT, max_new_tokens=20, seed=4, temperature=6.0)
+    assert not np.array_equal(h1, h2)
+    assert eng._round_jit._cache_size() == 1
