@@ -117,16 +117,19 @@ def main():
         f"target {target_bytes/1e9:.2f} GB bf16 ({n_target_params/1e9:.2f}B "
         f"params), draft {draft_bytes/1e9:.2f} GB")
 
-    # ---- corpus: greedy vanilla generations (bit-identical to speculative
-    # greedy by the engine's core invariant, and one small program to compile)
+    # ---- corpus: the ENGINE's own greedy trajectories via generate_fused —
+    # the exact program the measurement walks. (On real-TPU bf16 the vanilla
+    # scan's attention reductions differ from the verify forward's by ~1 ulp,
+    # which flips argmaxes over a random-weight target; a vanilla-generated
+    # corpus therefore goes off-distribution immediately and τ collapses to
+    # 1. Learned the hard way — do not "optimize" this back to vanilla.)
     t1 = time.time()
     B, Lp, T_gen = 16, 16, 160
     rng = np.random.default_rng(0)
     prompts = rng.integers(0, V, size=(B, Lp)).astype(np.int32)
     corpus = []
     for i in range(B):
-        seq = eng.generate_vanilla(prompts[i], max_new_tokens=T_gen,
-                                   fused=True)
+        seq = eng.generate_fused(prompts[i], max_new_tokens=T_gen)
         corpus.append(seq[: Lp + T_gen])
     data = np.stack(corpus).astype(np.int32)
     log(f"[bench] corpus {data.shape} {time.time()-t1:.1f}s")
@@ -204,10 +207,15 @@ def main():
     eng.dparams = jax.tree.map(jnp.asarray, best)
 
     # ---- kernel A/B at full scale: attention (xla vs pallas_tree) x
-    # compaction (xla vs pallas). Greedy outputs must agree bit-exactly.
+    # compaction (xla vs pallas). Compaction must be OUTPUT-IDENTICAL per
+    # attention impl (pure row moves). Across attention impls only round
+    # TIME is compared: the Pallas flash kernel's online-softmax reduction
+    # order differs from XLA's by ~1 bf16 ulp, which legitimately flips
+    # greedy argmaxes over a random-weight target — its τ here is
+    # off-corpus junk, but round time is shape-static and trajectory-free.
     ab = {}
-    ref_out = None
     for attn in ("xla", "pallas_tree"):
+        ref_out = None
         for compact in ("xla", "pallas"):
             cfg_ab = dataclasses.replace(cfg, attn_impl=attn)
             ecfg_ab = dataclasses.replace(ecfg, compact_impl=compact)
@@ -218,7 +226,7 @@ def main():
             else:
                 n = min(len(ref_out), len(out))
                 assert np.array_equal(out[:n], ref_out[:n]), (
-                    f"A/B mismatch: attn={attn} compact={compact}")
+                    f"compaction changed outputs: attn={attn}")
             tau_ab, round_ab = measure_engine(e_ab, n_prompts=2, reps=2)
             ab[f"{attn}+{compact}"] = round(round_ab, 2)
             log(f"[bench] A/B attn={attn} compact={compact}: "
@@ -226,11 +234,12 @@ def main():
     best_combo = min(ab, key=ab.get)
     log(f"[bench] A/B best: {best_combo} ({ab[best_combo]:.2f}ms)")
 
-    # headline config: whatever the A/B says is fastest
-    attn_best, compact_best = best_combo.split("+")
-    cfg_h = dataclasses.replace(cfg, attn_impl=attn_best)
+    # headline config: fastest COMPACTION, but attention stays "xla" — the
+    # greedy==vanilla bit-exactness invariant is part of the product; the
+    # Pallas attention number above records what switching would buy.
+    compact_best = min(("xla", "pallas"), key=lambda c: ab[f"xla+{c}"])
     ecfg_h = dataclasses.replace(ecfg, compact_impl=compact_best)
-    eng_h = EagleEngine(params, cfg_h, eng.dparams, dcfg, ecfg_h)
+    eng_h = EagleEngine(params, cfg, eng.dparams, dcfg, ecfg_h)
     tau, round_ms = measure_engine(eng_h, n_prompts=4, reps=3)
     eagle_tps = tau * 1e3 / round_ms
     speedup = eagle_tps / vanilla_tps
