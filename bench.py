@@ -253,6 +253,36 @@ def main():
         f"speedup={speedup:.2f}x | round={round_ms:.2f}ms "
         f"(MFU {mfu_round:.2f}) | total {time.time()-t0:.0f}s")
 
+    # ---- optional: int8 draft with quantization-aware distillation
+    # (BENCH_INT8=1; records whether QAT recovers the τ that post-training
+    # quantization loses, on top of the int8 round-time win)
+    int8_result = None
+    if os.environ.get("BENCH_INT8"):
+        tcfg_q = dataclasses.replace(tcfg, quant_aware=True)
+        opt_q = ttt.make_optimizer(tcfg_q)
+        dparams_q = dict(dparams0)
+        opt_state_q = opt_q.init(ttt.partition_trainable(dparams_q)[0])
+        step_q = jax.jit(lambda dp, os_, tp, b: ttt.train_step(
+            dp, os_, tp, cfg, dcfg, tcfg_q, opt_q, b))
+        batch_q = {
+            "input_ids": jnp.asarray(data),
+            "loss_mask": jnp.ones(data.shape, jnp.float32),
+            "pad_mask": jnp.ones(data.shape, bool),
+        }
+        mq = None
+        for _ in range(max(DISTILL_SNAPSHOTS)):
+            dparams_q, opt_state_q, mq = step_q(dparams_q, opt_state_q,
+                                                params, batch_q)
+        log(f"[bench] QAT distill acc={np.asarray(mq.accs)}")
+        ecfg_q = dataclasses.replace(ecfg_h, draft_quant="int8")
+        eng_q = EagleEngine(params, cfg, dparams_q, dcfg, ecfg_q)
+        tau_q, round_q = measure_engine(eng_q, n_prompts=3, reps=2)
+        sp_q = (tau_q * 1e3 / round_q) / vanilla_tps
+        int8_result = {"tau": round(tau_q, 2), "round_ms": round(round_q, 2),
+                       "speedup": round(sp_q, 2)}
+        log(f"[bench] int8+QAT: tau={tau_q:.2f} round={round_q:.2f}ms "
+            f"speedup={sp_q:.2f}x")
+
     # ---- batched serving: aggregate tokens/s at B in {1, 4, 8}
     serving = {"1": round(eagle_tps, 1)}
     for Bs in (4, 8):
@@ -285,6 +315,7 @@ def main():
         "kernel_ab_round_ms": ab,
         "speedup_vs_tau": sweep,
         "serving_agg_tps": serving,
+        **({"int8_qat": int8_result} if int8_result else {}),
     }))
 
 
