@@ -180,10 +180,10 @@ def main():
             eng.dparams = dp
             data_i = gen_corpus(eng)
             dp, os_, m = distill(dp, os_, data_i, extra)
-        eng.dparams = dp
-        data_m = gen_corpus(eng)                 # measured on ITS corpus
+        # measurement replays this draft's own trajectories from `prompts`
+        # deterministically — no final corpus materialization needed
         refined.append((snap, float(np.asarray(m.accs)[0]),
-                        jax.tree.map(np.asarray, dp), data_m))
+                        jax.tree.map(np.asarray, dp)))
     log(f"[bench] distill+refine {time.time()-t2:.1f}s")
     del dparams, opt_state
 
@@ -219,7 +219,7 @@ def main():
 
     # ---- τ-sweep: measured speedup at each refined distillation snapshot
     sweep = []
-    for step_i, acc0, dp_host, _data_m in refined:
+    for step_i, acc0, dp_host in refined:
         eng.dparams = jax.tree.map(jnp.asarray, dp_host)
         tau_i, round_i = measure_engine(eng, n_prompts=3, reps=2)
         sp_i = (tau_i * 1e3 / round_i) / vanilla_tps

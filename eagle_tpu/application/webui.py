@@ -59,10 +59,13 @@ class ChatBackend:
         self._lock = threading.Lock()  # one generation at a time
         self._engines = {self.engine.ecfg.temperature > 0: self.engine}
 
-    def _engine_for(self, temperature: float):
+    def _engine_for(self, temperature: Optional[float]):
         """Per-request temperature: t>0 values are traced data on the
         sampled-mode engine (no recompile between values); t=0 needs the
-        structurally different greedy program. Siblings share all params."""
+        structurally different greedy program. None = the engine's own
+        configured mode. Siblings share all params."""
+        if temperature is None:
+            return self.engine
         sampled = temperature > 0
         eng = self._engines.get(sampled)
         if eng is None:
@@ -72,9 +75,10 @@ class ChatBackend:
 
     def stream_reply(self, history: List[dict], use_eagle: bool = True,
                      max_new_tokens: int = 512,
-                     temperature: float = 0.0) -> Iterator[dict]:
+                     temperature: Optional[float] = None) -> Iterator[dict]:
         """Yield {text, new_text, highlight, tokens_per_s,
-        compression_ratio, done} events per decode round."""
+        compression_ratio, done} events per decode round. temperature=None
+        uses the engine's configured sampling mode."""
         prompt = self.template(history)
         ids = self.encode(prompt)
         engine = self._engine_for(temperature)
@@ -191,7 +195,7 @@ def make_handler(backend: ChatBackend):
                     req.get("history", []),
                     use_eagle=req.get("use_eagle", True),
                     max_new_tokens=req.get("max_new_tokens", 512),
-                    temperature=req.get("temperature", 0.0)):
+                    temperature=req.get("temperature")):
                 self.wfile.write((json.dumps(ev) + "\n").encode())
                 self.wfile.flush()
 

@@ -130,15 +130,18 @@ class EagleServer:
     # ------------------------------------------------------------------
 
     def _group_bucket(self, g: int) -> Optional[int]:
-        """Current KV bucket of group g (None = no buckets configured)."""
+        """Current KV bucket of group g (None = unconstrained: no buckets
+        configured, or no live slots). Computed from host-side slot
+        bookkeeping (prompt_len + emitted = committed length) — reading
+        state.length would block on the just-dispatched prefill/round and
+        serialize the admission pipeline."""
         eng = self.engine
         buckets = eng._kv_buckets()
         if buckets is None or self._states[g] is None:
             return None
-        lens = np.asarray(self._states[g].length)
-        live = [int(lens[i]) for i, s in enumerate(self.slots[g]) if s.active]
+        live = [s.prompt_len + s.emitted for s in self.slots[g] if s.active]
         if not live:
-            return buckets[0]
+            return None
         need = max(live) + eng.ecfg.tree_size + eng._tail
         return next((b for b in buckets if need <= b), buckets[-1])
 
@@ -164,12 +167,12 @@ class EagleServer:
                 def fit(gi):
                     g, _ = gi
                     gb = self._group_bucket(g)
-                    if gb is None:
-                        return (0, 0)
-                    # prefer groups whose bucket matches the request's;
-                    # among those, the fullest (pack tight, keep groups hot)
                     occupied = sum(s.active for s in self.slots[g])
-                    return (abs(gb - req_bucket), -occupied)
+                    # empty/drained groups are unconstrained (distance 0) —
+                    # a long request must prefer them over de-bucketing an
+                    # active short group; among equal fits pack the fullest
+                    dist = 0 if gb is None else abs(gb - req_bucket)
+                    return (dist, -occupied)
 
                 free.sort(key=fit)
             g, i = free[0]

@@ -92,7 +92,8 @@ def main(argv=None):
         harness.make_generate_fn(engine, args.mode),
         encode_fn=lambda s: tok(s, return_tensors="np",
                                 add_special_tokens=(args.model_type
-                                                    in ("vicuna", "llama2"))
+                                                    in ("vicuna", "llama2",
+                                                        "mixtral"))
                                 ).input_ids[0],
         decode_fn=lambda ids: tok.decode(ids, skip_special_tokens=True),
         questions=questions,

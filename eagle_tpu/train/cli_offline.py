@@ -135,8 +135,10 @@ def cmd_train(argv):
         start_epoch = int(restored["step"]) + 1
         print(f"[train] resumed from epoch {restored['step']}", flush=True)
 
-    step_fn = jax.jit(lambda dp, os_, b, k: offline.train_step(
-        dp, os_, head_w, dcfg, ocfg, opt, b, k))
+    # head_w passed as an argument — closing it over the jit would bake a
+    # [V,H] constant into the lowering (CLAUDE.md remote-compile rule)
+    step_fn = jax.jit(lambda dp, os_, hw, b, k: offline.train_step(
+        dp, os_, hw, dcfg, ocfg, opt, b, k))
     key = jax.random.PRNGKey(1)
 
     def epoch_batches(seed):
@@ -151,7 +153,8 @@ def cmd_train(argv):
             n_steps = 0
             for batch in epoch_batches(epoch):
                 key, sk = jax.random.split(key)
-                dparams, opt_state, m = step_fn(dparams, opt_state, batch, sk)
+                dparams, opt_state, m = step_fn(dparams, opt_state, head_w,
+                                                batch, sk)
                 n_steps += 1
                 if n_steps % 20 == 0:
                     print(f"[train] epoch {epoch} step {n_steps} "
