@@ -74,3 +74,18 @@ def test_http_stream_chat():
         assert events[0]["compression_ratio"] == 1.0
     finally:
         srv.shutdown()
+
+
+def test_omitted_temperature_keeps_engine_mode():
+    """A request without a temperature field must use the engine's own
+    configured sampling mode — not silently force greedy (r2 review fix)."""
+    from test_engine_greedy import make_engine as mk
+
+    eng = mk(3, temperature=1.0)
+    backend = webui.ChatBackend(eng, _encode, _decode, model_type="vicuna")
+    assert backend._engine_for(None) is eng          # sampled stays sampled
+    assert backend._engine_for(0.0).ecfg.temperature == 0.0
+    greedy = mk(3)
+    b2 = webui.ChatBackend(greedy, _encode, _decode, model_type="vicuna")
+    assert b2._engine_for(None) is greedy
+    assert b2._engine_for(0.7).ecfg.temperature > 0
