@@ -37,32 +37,49 @@ class AcceptResult(NamedTuple):
     accept_len: jnp.ndarray  # scalar int32 — accepted nodes beyond the root
     sample_p: jnp.ndarray   # [V] fp32 — distribution for the bonus token
                             # (greedy: plain softmax of final-node logits)
+    live_match: jnp.ndarray = jnp.int32(0)  # forced replay: #path positions
+                            # where the live argmax agreed with the reference
 
 
-def accept_greedy(tree: Tree, logits: jnp.ndarray, path_len: int) -> AcceptResult:
+def accept_greedy(tree: Tree, logits: jnp.ndarray, path_len: int,
+                  ref_next: jnp.ndarray | None = None) -> AcceptResult:
     """Greedy argmax walk (utils.py:360-373 equivalent).
 
     logits: [N, V] fp32 target logits per tree node.
+
+    ref_next (optional, [path_len] int32): forced-replay mode — the token
+    that must follow the path node at depth d is ref_next[d] instead of the
+    live argmax. This is the engine-level analog of the reference's
+    teacher-forced rollout evals (train/main.py:240-293 `getkacc`): the
+    committed trajectory is pinned to a reference continuation so draft
+    acceptance can be measured on a fixed trajectory. The live argmax is
+    still computed (identical compute) and returned via `live_match` so
+    callers can report how often the live target agrees with the reference.
     """
     argmax_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [N]
 
-    def step(carry, _):
+    def step(carry, t_ref):
         cur, alen, done = carry
-        t_star = argmax_tok[cur]
+        t_live = argmax_tok[cur]
+        t_star = t_live if ref_next is None else t_ref
         ch = tree.children[cur]                       # [K]
         ctok = tree.tokens[jnp.maximum(ch, 0)]
         match = (ctok == t_star) & (ch >= 0)
         has = jnp.any(match) & ~done
         nxt = ch[jnp.argmax(match)]
         cur = jnp.where(has, nxt, cur)
-        return (cur, alen + has.astype(jnp.int32), done | ~has), cur
+        hit = (t_live == t_star) & ~done
+        return (cur, alen + has.astype(jnp.int32), done | ~has), (cur, hit)
 
-    (cur, alen, _), rest = jax.lax.scan(
-        step, (jnp.int32(0), jnp.int32(0), jnp.bool_(False)), None,
-        length=path_len - 1)
+    xs = (jnp.zeros((path_len - 1,), jnp.int32) if ref_next is None
+          else ref_next[: path_len - 1])
+    (cur, alen, _), (rest, hits) = jax.lax.scan(
+        step, (jnp.int32(0), jnp.int32(0), jnp.bool_(False)), xs)
     path = jnp.concatenate([jnp.zeros((1,), jnp.int32), rest])
     sample_p = jax.nn.softmax(logits[cur].astype(jnp.float32), axis=-1)
-    return AcceptResult(path=path, accept_len=alen, sample_p=sample_p)
+    live_match = jnp.sum(hits.astype(jnp.int32))
+    return AcceptResult(path=path, accept_len=alen, sample_p=sample_p,
+                        live_match=live_match)
 
 
 def accept_sampled(tree: Tree, logits: jnp.ndarray, key: jax.Array,

@@ -51,6 +51,8 @@ class RoundOutput(NamedTuple):
     new_tokens: jnp.ndarray  # [PATH] committed this round (first n_acc valid)
     accept_len: jnp.ndarray  # scalar int32 (-1 when the sequence is done)
     done: jnp.ndarray        # scalar bool
+    live_match: jnp.ndarray = jnp.int32(0)  # forced replay: live-argmax
+                             # agreements with the reference this round
 
 
 def _target_feats(res: transformer.ForwardResult, version: int) -> jnp.ndarray:
@@ -199,7 +201,7 @@ class EagleEngine:
     # ------------------------------------------------------------------
 
     def _prefill(self, params, dparams, tokens, prompt_len, cache, dcache,
-                 key, temperature=None):
+                 key, temperature=None, ref=None):
         """Prompt prefill + first draft tree (utils.py:232-255 analog).
 
         tokens: [1, Tp] padded; prompt_len: scalar int32 ≤ Tp. With
@@ -239,6 +241,8 @@ class EagleEngine:
             params, self.cfg, res.hidden[0, prompt_len - 1])      # [V] fp32
         key, k1, k_draft = jax.random.split(key, 3)
         root = self._pick_token(last_logits, k1, temperature)
+        if ref is not None:  # forced replay: the first token is pinned too
+            root = ref[prompt_len]
         cache = with_length(res.cache, prompt_len[None])
 
         feats = _target_feats(res, self.dcfg.version)[0]           # [Tp, F]
@@ -266,7 +270,8 @@ class EagleEngine:
         return categorical(key, p)
 
     def _round(self, params, dparams, state: EngineState,
-               kv_limit: Optional[int] = None, batched: bool = False):
+               kv_limit: Optional[int] = None, batched: bool = False,
+               ref: Optional[jnp.ndarray] = None):
         """One speculative decode round (ea_model.py:251-299 analog).
 
         kv_limit (static): run the round against only the first `kv_limit`
@@ -275,6 +280,15 @@ class EagleEngine:
         this so attention reads scale with the live context, not the
         preallocated cache. `batched` (static): set by vmapped callers —
         disables the B=1-only Pallas compaction kernel.
+
+        ref (traced, optional): forced-replay reference — a full-cache-sized
+        [S] int32 token buffer. When given (greedy engines only), acceptance
+        and the bonus token are pinned to `ref` instead of the live argmax
+        (accept.accept_greedy ref_next semantics); the committed trajectory
+        is exactly ref, while every timed component (draft beam, verify
+        forward, compaction) is unchanged. The teacher-forced rollout
+        measurement mode (reference getkacc, train/main.py:240-293, lifted
+        to the engine level).
         """
         if kv_limit is not None and kv_limit < state.cache.max_len:
             small = state._replace(cache=KVCache(
@@ -282,7 +296,7 @@ class EagleEngine:
                 v=state.cache.v[:, :, :, :kv_limit, :],
                 length=state.cache.length))
             new_small, out = self._round(params, dparams, small,
-                                         batched=batched)
+                                         batched=batched, ref=ref)
             merged = KVCache(
                 k=state.cache.k.at[:, :, :, :kv_limit, :].set(
                     new_small.cache.k),
@@ -309,8 +323,15 @@ class EagleEngine:
         key, k_acc, k_bonus, k_draft = jax.random.split(state.key, 4)
         temp = jnp.maximum(state.temperature, 1e-4)
         if e.temperature == 0.0:
-            acc = accept_mod.accept_greedy(tree, logits, self.path_len)
-            bonus = jnp.argmax(acc.sample_p).astype(jnp.int32)
+            if ref is not None:
+                ref_next = jax.lax.dynamic_slice(ref, (Lc + 1,),
+                                                 (self.path_len,))
+                acc = accept_mod.accept_greedy(tree, logits, self.path_len,
+                                               ref_next=ref_next)
+                bonus = ref_next[acc.accept_len]
+            else:
+                acc = accept_mod.accept_greedy(tree, logits, self.path_len)
+                bonus = jnp.argmax(acc.sample_p).astype(jnp.int32)
         elif tree.node_probs is not None:
             # sampled candidates → true-q rule (modeling_eagle.py:1398-1459)
             acc = accept_mod.accept_sampled_true_q(tree, logits, k_acc, e,
@@ -367,7 +388,8 @@ class EagleEngine:
                                 key=key, done=done,
                                 temperature=state.temperature)
         return new_state, RoundOutput(new_tokens=path_tokens,
-                                      accept_len=n_acc - 1, done=done)
+                                      accept_len=n_acc - 1, done=done,
+                                      live_match=acc.live_match)
 
     def _temp(self, temperature: Optional[float]) -> jnp.ndarray:
         """Effective request temperature as a traced fp32 scalar."""
@@ -433,38 +455,42 @@ class EagleEngine:
     # ------------------------------------------------------------------
 
     def _rounds_loop(self, params, dparams, state: EngineState,
-                     budget: jnp.ndarray):
+                     budget: jnp.ndarray, ref=None):
         """lax.while_loop over decode rounds — zero host round-trips.
 
         This is the TPU-native shape of the decode loop (SURVEY.md §7 design
         stance): the reference syncs with the host every round and every
         accepted token (utils.py:375-415); here EOS and budget checks are
         on-device `done` logic, so an entire generation is one XLA program.
+
+        With `ref` (forced replay, see _round), also accumulates the count
+        of live-argmax agreements with the reference across rounds.
         """
         L0 = state.length
 
         def cond(carry):
-            st, rounds = carry
+            st, rounds, hits = carry
             return (~st.done) & (st.length - L0 < budget)
 
         buckets = self._kv_buckets()
 
         def body(carry):
-            st, rounds = carry
+            st, rounds, hits = carry
             if buckets is None:
-                st, _ = self._round(params, dparams, st)
+                st, out = self._round(params, dparams, st, ref=ref)
             else:
                 idx = self._bucket_index(st.length, buckets)
-                st, _ = jax.lax.switch(
+                st, out = jax.lax.switch(
                     idx,
                     [(lambda s, b=b: self._round(params, dparams, s,
-                                                 kv_limit=b))
+                                                 kv_limit=b, ref=ref))
                      for b in buckets],
                     st)
-            return (st, rounds + 1)
+            return (st, rounds + 1, hits + out.live_match)
 
-        state, rounds = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
-        return state, rounds
+        state, rounds, hits = jax.lax.while_loop(
+            cond, body, (state, jnp.int32(0), jnp.int32(0)))
+        return state, rounds, hits
 
     def _kv_buckets(self):
         """Ascending KV-row buckets ending at the full cache size."""
@@ -487,11 +513,21 @@ class EagleEngine:
 
     def generate_fused(self, prompt_ids, max_new_tokens: int = 512,
                        seed: int = 0, log: bool = False,
-                       temperature: Optional[float] = None):
+                       temperature: Optional[float] = None,
+                       force_tokens=None):
         """Speculative generation with prefill + all rounds in two device
         dispatches total. EOS stop requires the engine to be constructed
         with `eos_token_id`. May overshoot max_new_tokens by up to one
-        round's window (trimmed host-side, EOS-respecting)."""
+        round's window (trimmed host-side, EOS-respecting).
+
+        force_tokens (greedy engines only): a 1-D int token sequence whose
+        first len(prompt_ids) entries are the prompt — forced-replay mode.
+        The engine walks exactly this trajectory (acceptance/bonus pinned to
+        it, see _round); τ then measures the draft's acceptance on a FIXED
+        reference continuation, the engine-level getkacc. With log=True
+        returns (ids, new_tokens, rounds, live_match) — live_match counting
+        how often the live target argmax agreed with the reference.
+        """
         prompt = np.asarray(prompt_ids, np.int32).reshape(1, -1)
         Lp = prompt.shape[1]
         Tp = self._bucket(Lp)
@@ -499,30 +535,56 @@ class EagleEngine:
         padded[0, :Lp] = prompt
         cache, dcache = self.init_caches()
         key = jax.random.PRNGKey(seed)
-        kf = ("fused", Tp)
+        forced = force_tokens is not None
+        if forced:
+            if self.ecfg.temperature != 0.0:
+                raise ValueError("force_tokens requires a greedy engine")
+            ft = np.asarray(force_tokens, np.int32).ravel()
+            if not np.array_equal(ft[:Lp], prompt[0]):
+                raise ValueError("force_tokens must start with the prompt")
+            need = Lp + max_new_tokens + self.path_len + 1
+            if ft.size < need:
+                raise ValueError(
+                    f"force_tokens too short: {ft.size} < {need} "
+                    "(prompt + budget + one round's commit window)")
+            ref_buf = np.zeros((self._tgt_len(),), np.int32)
+            n = min(ft.size, ref_buf.size)
+            ref_buf[:n] = ft[:n]
+        kf = ("fused", Tp, forced)
         fn = self._prefill_jit.get(kf)
         if fn is None:
             def prefill_and_rounds(params, dparams, toks, plen, cache,
-                                   dcache, key, budget, temp):
+                                   dcache, key, budget, temp, ref=None):
                 st = self._prefill(params, dparams, toks, plen, cache,
-                                   dcache, key, temp)
-                st, rounds = self._rounds_loop(params, dparams, st, budget)
-                return st.tokens, st.length, rounds
-            fn = jax.jit(prefill_and_rounds, donate_argnums=(4, 5))
+                                   dcache, key, temp, ref=ref)
+                st, rounds, hits = self._rounds_loop(params, dparams, st,
+                                                     budget, ref=ref)
+                return st.tokens, st.length, rounds, hits
+            if forced:
+                fn = jax.jit(prefill_and_rounds, donate_argnums=(4, 5))
+            else:
+                fn = jax.jit(
+                    functools.partial(prefill_and_rounds, ref=None),
+                    donate_argnums=(4, 5))
             self._prefill_jit[kf] = fn
-        toks, length, rounds = fn(self.params, self.dparams,
-                                  jnp.asarray(padded), jnp.int32(Lp), cache,
-                                  dcache, key, jnp.int32(max_new_tokens),
-                                  self._temp(temperature))
+        args = (self.params, self.dparams, jnp.asarray(padded),
+                jnp.int32(Lp), cache, dcache, key,
+                jnp.int32(max_new_tokens), self._temp(temperature))
+        if forced:
+            toks, length, rounds, hits = fn(*args, jnp.asarray(ref_buf))
+        else:
+            toks, length, rounds, hits = fn(*args)
         out = np.asarray(toks[0, : int(length)])
         # trim overshoot; respect EOS if configured
         limit = Lp + max_new_tokens
         if self.eos_token_id is not None:
             gen = out[Lp:]
-            hits = np.nonzero(gen == self.eos_token_id)[0]
-            if hits.size:
-                limit = min(limit, Lp + int(hits[0]) + 1)
+            eos_hits = np.nonzero(gen == self.eos_token_id)[0]
+            if eos_hits.size:
+                limit = min(limit, Lp + int(eos_hits[0]) + 1)
         out = out[:limit]
+        if log and forced:
+            return out, len(out) - Lp, int(rounds), int(hits)
         if log:
             return out, len(out) - Lp, int(rounds)
         return out

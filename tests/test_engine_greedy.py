@@ -210,3 +210,48 @@ def test_pallas_compaction_bit_exact():
     eng_b = make_engine(3, compact_impl="pallas", kv_buckets=(128,))
     out_b = eng_b.generate_fused(PROMPT, max_new_tokens=40)
     np.testing.assert_array_equal(out_b[: len(ref)], ref[: len(out_b)])
+
+
+def test_forced_replay_matches_free_running():
+    """Forced-replay mode (force_tokens=) on the free-running trajectory must
+    reproduce it exactly, with full live-argmax agreement: on CPU fp32 the
+    live target argmax IS the reference, so pinning acceptance to it changes
+    nothing. The engine-level getkacc (train/main.py:240-293)."""
+    eng = make_engine(1)
+    free, n_free, r_free = eng.generate_fused(PROMPT, max_new_tokens=24,
+                                              log=True)
+    # extend the reference far enough to cover budget + commit window
+    full = eng.generate_fused(PROMPT, max_new_tokens=64)
+    out, n, rounds, live = eng.generate_fused(
+        PROMPT, max_new_tokens=24, log=True, force_tokens=full)
+    np.testing.assert_array_equal(out, free[: len(out)])
+    assert rounds == r_free
+    assert live > 0  # live argmax agreed wherever the walk inspected it
+
+
+def test_forced_replay_follows_corrupted_reference():
+    """When the reference diverges from the live argmax, forced replay must
+    follow the REFERENCE (that is its contract), not the live target."""
+    eng = make_engine(1)
+    full = np.asarray(eng.generate_fused(PROMPT, max_new_tokens=64))
+    ref = full.copy()
+    flip = len(PROMPT) + 5
+    ref[flip] = (ref[flip] + 1) % eng.cfg.vocab_size
+    out, n, rounds, live = eng.generate_fused(
+        PROMPT, max_new_tokens=24, log=True, force_tokens=ref)
+    np.testing.assert_array_equal(out, ref[: len(out)])
+    assert out[flip] == ref[flip] != full[flip]
+
+
+def test_forced_replay_rejects_bad_inputs():
+    eng = make_engine(1)
+    full = eng.generate_fused(PROMPT, max_new_tokens=64)
+    with np.testing.assert_raises(ValueError):  # too short
+        eng.generate_fused(PROMPT, max_new_tokens=60, force_tokens=full[:30])
+    bad = np.asarray(full).copy()
+    bad[0] += 1  # prompt mismatch
+    with np.testing.assert_raises(ValueError):
+        eng.generate_fused(PROMPT, max_new_tokens=8, force_tokens=bad)
+    sampled = make_engine(1, temperature=0.8)
+    with np.testing.assert_raises(ValueError):
+        sampled.generate_fused(PROMPT, max_new_tokens=8, force_tokens=full)
