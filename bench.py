@@ -163,8 +163,11 @@ def main():
     tcfg = ttt.TrainConfig(length=7, lr=3e-3, warmup_steps=10,
                            total_steps=2000)
     opt = ttt.make_optimizer(tcfg)
+    # donate dparams+opt_state: in-place buffer reuse step-over-step. The
+    # tunnel's server-side frees lag allocations, so the alloc/free churn
+    # of a non-donated loop accumulates into RESOURCE_EXHAUSTED mid-run.
     step = jax.jit(lambda dp, os_, tp, b: ttt.train_step(
-        dp, os_, tp, cfg, dcfg, tcfg, opt, b))
+        dp, os_, tp, cfg, dcfg, tcfg, opt, b), donate_argnums=(0, 1))
 
     def distill(dparams, opt_state, data, n_steps):
         # alternate half-batches: halves the activation / logit-buffer peak
@@ -213,7 +216,9 @@ def main():
                 time.sleep(120)
 
     t2 = time.time()
-    dparams = dict(dparams0)
+    # deep-copy: the donated step must not eat dparams0's leaves (embed is
+    # shared with the target params; dparams0 is reused by the int8 path)
+    dparams = jax.tree.map(lambda x: jnp.array(x, copy=True), dict(dparams0))
     opt_state = opt.init(ttt.partition_trainable(dparams)[0])
     snapshots = []  # (label_steps, acc0, host dparams)
     prev = 0
