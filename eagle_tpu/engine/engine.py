@@ -511,6 +511,27 @@ class EagleEngine:
             idx = idx + (need > b).astype(jnp.int32)
         return idx
 
+    def _make_ref_buf(self, ft, prompt_row, max_new_tokens: int,
+                      label: str = "force_tokens") -> np.ndarray:
+        """Validate one forced-replay reference and zero-pad it to the full
+        cache length. The `need` formula bounds the deepest `ref_next` read
+        `_round` can issue (prompt + budget + one round's commit window)."""
+        if self.ecfg.temperature != 0.0:
+            raise ValueError(f"{label} requires a greedy engine")
+        ft = np.asarray(ft, np.int32).ravel()
+        Lp = len(prompt_row)
+        if not np.array_equal(ft[:Lp], np.asarray(prompt_row, np.int32)):
+            raise ValueError(f"{label} must start with the prompt")
+        need = Lp + max_new_tokens + self.path_len + 1
+        if ft.size < need:
+            raise ValueError(
+                f"{label} too short: {ft.size} < {need} "
+                "(prompt + budget + one round's commit window)")
+        buf = np.zeros((self._tgt_len(),), np.int32)
+        n = min(ft.size, buf.size)
+        buf[:n] = ft[:n]
+        return buf
+
     def generate_fused(self, prompt_ids, max_new_tokens: int = 512,
                        seed: int = 0, log: bool = False,
                        temperature: Optional[float] = None,
@@ -537,19 +558,8 @@ class EagleEngine:
         key = jax.random.PRNGKey(seed)
         forced = force_tokens is not None
         if forced:
-            if self.ecfg.temperature != 0.0:
-                raise ValueError("force_tokens requires a greedy engine")
-            ft = np.asarray(force_tokens, np.int32).ravel()
-            if not np.array_equal(ft[:Lp], prompt[0]):
-                raise ValueError("force_tokens must start with the prompt")
-            need = Lp + max_new_tokens + self.path_len + 1
-            if ft.size < need:
-                raise ValueError(
-                    f"force_tokens too short: {ft.size} < {need} "
-                    "(prompt + budget + one round's commit window)")
-            ref_buf = np.zeros((self._tgt_len(),), np.int32)
-            n = min(ft.size, ref_buf.size)
-            ref_buf[:n] = ft[:n]
+            ref_buf = self._make_ref_buf(force_tokens, prompt[0],
+                                         max_new_tokens)
         kf = ("fused", Tp, forced)
         fn = self._prefill_jit.get(kf)
         if fn is None:
@@ -583,19 +593,32 @@ class EagleEngine:
             if eos_hits.size:
                 limit = min(limit, Lp + int(eos_hits[0]) + 1)
         out = out[:limit]
+        # log mode reports tokens the engine actually COMMITTED (untrimmed):
+        # τ = committed/rounds; the budget-trimmed count would quantize τ by
+        # up to one commit window per measurement (and can bias a Δn/Δrounds
+        # slope past path_len when the final round's overshoot is cut)
         if log and forced:
-            return out, len(out) - Lp, int(rounds), int(hits)
+            return out, int(length) - Lp, int(rounds), int(hits)
         if log:
-            return out, len(out) - Lp, int(rounds)
+            return out, int(length) - Lp, int(rounds)
         return out
 
     def generate_batch_fused(self, prompts, max_new_tokens: int = 512,
                              seed: int = 0,
-                             temperature: Optional[float] = None):
+                             temperature: Optional[float] = None,
+                             force_tokens=None, log: bool = False):
         """Batched + fused: the whole batch's decode is ONE device dispatch
         (vmapped rounds inside lax.while_loop, per-sequence done/budget
         flags). The serving configuration: weight streaming is amortized
-        across the batch while every sequence still speculates."""
+        across the batch while every sequence still speculates.
+
+        force_tokens (greedy engines only): per-sequence reference token
+        sequences, each starting with its prompt — the batched analog of
+        generate_fused's forced-replay mode. Every sequence replays its own
+        trajectory while all timed components run unchanged.
+
+        log=True returns (outs, committed, rounds): per-sequence committed
+        token counts (untrimmed) and the number of batch decode rounds."""
         B = len(prompts)
         lens = [len(p) for p in prompts]
         Tp = self._bucket(max(lens))
@@ -607,15 +630,27 @@ class EagleEngine:
         caches = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (B,) + x.shape), (cache, dcache))
         keys = jax.random.split(jax.random.PRNGKey(seed), B)
+        forced = force_tokens is not None
+        if forced:
+            if len(force_tokens) != B:
+                raise ValueError("need one force_tokens row per prompt")
+            refs = np.stack([
+                self._make_ref_buf(ft, padded[i, 0, : lens[i]],
+                                   max_new_tokens, label=f"force_tokens[{i}]")
+                for i, ft in enumerate(force_tokens)])
 
-        kf = ("batch_fused", B, Tp)
+        kf = ("batch_fused", B, Tp, forced)
         fn = self._prefill_jit.get(kf)
         if fn is None:
             def run(params, dparams, toks, plens, cache, dcache, keys,
-                    budget, temp):
-                state = jax.vmap(
-                    self._prefill, in_axes=(None, None, 0, 0, 0, 0, 0, None)
-                )(params, dparams, toks, plens, cache, dcache, keys, temp)
+                    budget, temp, refs=None):
+                pf_axes = (None, None, 0, 0, 0, 0, 0, None)
+                pf_args = (params, dparams, toks, plens, cache, dcache, keys,
+                           temp)
+                if refs is not None:
+                    pf_axes += (0,)
+                    pf_args += (refs,)
+                state = jax.vmap(self._prefill, in_axes=pf_axes)(*pf_args)
                 L0 = state.length
                 buckets = self._kv_buckets()
 
@@ -624,14 +659,16 @@ class EagleEngine:
 
                 def round_b(st, kv_limit=None):
                     st, _ = jax.vmap(
-                        lambda p, dp, s: self._round(p, dp, s,
-                                                     kv_limit=kv_limit,
-                                                     batched=True),
-                        in_axes=(None, None, 0)
-                    )(params, dparams, st)
+                        lambda p, dp, s, r: self._round(p, dp, s,
+                                                        kv_limit=kv_limit,
+                                                        batched=True, ref=r),
+                        in_axes=(None, None, 0,
+                                 None if refs is None else 0)
+                    )(params, dparams, st, refs)
                     return st
 
-                def body(st):
+                def body(carry):
+                    st, rounds = carry
                     if buckets is None:
                         st = round_b(st)
                     else:
@@ -644,18 +681,27 @@ class EagleEngine:
                             [(lambda s, b=b: round_b(s, kv_limit=b))
                              for b in buckets],
                             st)
-                    return st._replace(
+                    st = st._replace(
                         done=st.done | (st.length - L0 >= budget))
+                    return st, rounds + 1
 
-                state = jax.lax.while_loop(cond, body, state)
-                return state.tokens, state.length
+                state, rounds = jax.lax.while_loop(
+                    lambda c: cond(c[0]), body, (state, jnp.int32(0)))
+                return state.tokens, state.length, rounds
 
-            fn = jax.jit(run, donate_argnums=(4, 5))
+            if forced:
+                fn = jax.jit(run, donate_argnums=(4, 5))
+            else:
+                fn = jax.jit(functools.partial(run, refs=None),
+                             donate_argnums=(4, 5))
             self._prefill_jit[kf] = fn
-        toks, lengths = fn(self.params, self.dparams, jnp.asarray(padded),
-                           plens, caches[0], caches[1], keys,
-                           jnp.int32(max_new_tokens),
-                           self._temp(temperature))
+        args = (self.params, self.dparams, jnp.asarray(padded),
+                plens, caches[0], caches[1], keys,
+                jnp.int32(max_new_tokens), self._temp(temperature))
+        if forced:
+            toks, lengths, rounds = fn(*args, jnp.asarray(refs))
+        else:
+            toks, lengths, rounds = fn(*args)
         toks = np.asarray(toks)
         lengths = np.asarray(lengths)
         outs = []
@@ -668,6 +714,9 @@ class EagleEngine:
                 if hits.size:
                     limit = min(limit, lens[i] + int(hits[0]) + 1)
             outs.append(seq[:limit])
+        if log:
+            committed = [int(lengths[i]) - lens[i] for i in range(B)]
+            return outs, committed, int(rounds)
         return outs
 
     # ------------------------------------------------------------------

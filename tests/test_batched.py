@@ -53,3 +53,42 @@ def test_batch_fused_matches_batch():
     for p, o in zip(prompts, outs):
         exp = eng0.generate_vanilla(p, max_new_tokens=20, eos_token_id=eos)
         np.testing.assert_array_equal(o, exp)
+
+
+def test_batch_fused_forced_replay():
+    """Batched forced replay: every sequence must walk exactly its own
+    reference trajectory (incl. where it diverges from the live argmax),
+    mirroring generate_fused's force_tokens contract."""
+    eng = make_engine(1)
+    prompts = [np.array([5, 17, 92, 3], np.int32),
+               np.array([7, 1], np.int32)]
+    fulls = [np.asarray(eng.generate_fused(p, max_new_tokens=64))
+             for p in prompts]
+    # corrupt sequence 1's reference so replay != free-running there
+    refs = [fulls[0].copy(), fulls[1].copy()]
+    flip = len(prompts[1]) + 5
+    refs[1][flip] = (refs[1][flip] + 1) % eng.cfg.vocab_size
+    outs, committed, rounds = eng.generate_batch_fused(
+        prompts, max_new_tokens=24, force_tokens=refs, log=True)
+    for r, o in zip(refs, outs):
+        np.testing.assert_array_equal(o, r[: len(o)])
+    assert outs[1][flip] == refs[1][flip] != fulls[1][flip]
+    assert rounds >= 1
+    # committed counts are untrimmed: at least the requested budget
+    assert all(c >= 24 for c in committed)
+
+
+def test_batch_fused_forced_replay_rejects_bad_inputs():
+    eng = make_engine(1)
+    prompts = [np.array([5, 17, 92, 3], np.int32)]
+    full = np.asarray(eng.generate_fused(prompts[0], max_new_tokens=64))
+    with np.testing.assert_raises(ValueError):  # too short
+        eng.generate_batch_fused(prompts, max_new_tokens=60,
+                                 force_tokens=[full[:30]])
+    with np.testing.assert_raises(ValueError):  # row-count mismatch
+        eng.generate_batch_fused(prompts, max_new_tokens=8,
+                                 force_tokens=[full, full])
+    sampled = make_engine(1, temperature=0.8)
+    with np.testing.assert_raises(ValueError):
+        sampled.generate_batch_fused(prompts, max_new_tokens=8,
+                                     force_tokens=[full])
