@@ -114,6 +114,8 @@ def draft_logits(params: dict, cfg: DraftConfig, hidden: jnp.ndarray,
     """
     if cfg.version == 1:
         assert target_lm_head is not None
+        if isinstance(target_lm_head, dict):  # int8 target lm_head
+            return _dense(hidden, target_lm_head).astype(jnp.float32)
         return jnp.dot(hidden, target_lm_head.astype(hidden.dtype),
                        preferred_element_type=jnp.float32)
     h = rms_norm(hidden, params["norm"], cfg.rms_eps)

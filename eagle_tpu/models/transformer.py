@@ -259,6 +259,10 @@ def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray, cache: KVCache,
 def lm_head(params: dict, cfg: ModelConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     """Project hidden [.., H] → logits [.., V] (fp32)."""
     w = params["lm_head"] if not cfg.tie_embeddings else params["embed"]["w"].T
+    if isinstance(w, dict):  # int8 target (ops/quant.quantize_target_params)
+        from ..ops.quant import qdense
+
+        return qdense(hidden, w, out_dtype=jnp.float32)
     return jnp.dot(hidden, w.astype(hidden.dtype),
                    preferred_element_type=jnp.float32)
 

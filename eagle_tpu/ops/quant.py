@@ -32,9 +32,9 @@ def quantize_linear(w: jnp.ndarray) -> dict:
     return {"q8": q, "scale": scale}
 
 
-def qdense(x: jnp.ndarray, qw: dict,
-           b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """x [.., in] @ int8 weights → [.., out] in x.dtype.
+def qdense(x: jnp.ndarray, qw: dict, b: Optional[jnp.ndarray] = None,
+           out_dtype=None) -> jnp.ndarray:
+    """x [.., in] @ int8 weights → [.., out] in x.dtype (or out_dtype).
 
     Dynamic symmetric per-row activation quantization; int8×int8 matmul with
     int32 accumulation on the MXU; output rescaled by (row_scale ⊗
@@ -48,7 +48,8 @@ def qdense(x: jnp.ndarray, qw: dict,
         xq, qw["q8"], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * sx * qw["scale"][None, :]
-    y = y.astype(x.dtype).reshape(shape[:-1] + (qw["q8"].shape[1],))
+    y = y.astype(out_dtype or x.dtype).reshape(
+        shape[:-1] + (qw["q8"].shape[1],))
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
@@ -75,6 +76,33 @@ def quantize_draft_params(dparams: dict) -> dict:
         fc["w"] = quantize_linear(fc["w"])
         out["fc"] = fc
     if "lm_head" in out:
+        out["lm_head"] = quantize_linear(out["lm_head"])
+    return out
+
+
+def quantize_target_params(params: dict) -> dict:
+    """Weight-only int8 quantization for a TARGET param tree (the serving
+    operating point: nearly halves both the vanilla step's and the verify
+    forward's weight streaming).
+
+    The target's layer weights are stacked [L, in, out] (scanned in
+    transformer.forward), so quantization vmaps over the layer axis — after
+    the scan slices them, `_dense` sees the same {"q8", "scale"} dicts as
+    the draft path. Embeddings, norms, biases and MoE expert banks (einsum
+    path, not `_dense`) stay unquantized.
+
+    Correctness note: this CHANGES the target (unlike draft quantization) —
+    outputs match the int8 target's own vanilla decode bit-for-bit (the
+    greedy invariant holds within the quantized engine; enforced by
+    tests/test_quant.py), not the bf16 target's.
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k in _QUANT_KEYS:
+        if k in layers and not isinstance(layers[k], dict):
+            layers[k] = jax.vmap(quantize_linear)(layers[k])
+    out["layers"] = layers
+    if "lm_head" in out and not isinstance(out["lm_head"], dict):
         out["lm_head"] = quantize_linear(out["lm_head"])
     return out
 

@@ -50,3 +50,43 @@ def test_int8_draft_still_bit_exact_greedy(version):
     out, ntok, rounds = eng.generate(PROMPT, max_new_tokens=30, log=True)
     np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
     assert ntok / rounds >= 1.0
+
+
+def test_quantize_target_params_structure():
+    eng0 = make_engine(3)
+    qp = quant.quantize_target_params(eng0.params)
+    # stacked [L, in, out] layer weights quantize per layer
+    assert qp["layers"]["wq"]["q8"].dtype == jnp.int8
+    assert qp["layers"]["wq"]["q8"].shape == eng0.params["layers"]["wq"].shape
+    assert qp["layers"]["wq"]["scale"].shape == (
+        eng0.params["layers"]["wq"].shape[0],
+        eng0.params["layers"]["wq"].shape[2])
+    assert qp["lm_head"]["q8"].dtype == jnp.int8
+    assert qp["embed"]["w"].dtype == eng0.params["embed"]["w"].dtype
+    assert qp["layers"]["ln1"].dtype == eng0.params["layers"]["ln1"].dtype
+
+
+@pytest.mark.parametrize("version", [1, 3])
+def test_int8_target_greedy_bit_exact_within_engine(version):
+    """int8 TARGET serving mode: outputs must match the int8 target's OWN
+    vanilla decode bit-for-bit (the greedy invariant holds inside the
+    quantized engine; the bf16 target's trajectory is a different model's)."""
+    eng0 = make_engine(version)
+    qparams = quant.quantize_target_params(eng0.params)
+    eng = EagleEngine(qparams, eng0.cfg, eng0.dparams, eng0.dcfg, eng0.ecfg)
+    ref = eng.generate_vanilla(PROMPT, max_new_tokens=30)
+    out = eng.generate(PROMPT, max_new_tokens=30)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+    out_f = eng.generate_fused(PROMPT, max_new_tokens=30)
+    np.testing.assert_array_equal(out_f[: len(ref)], ref[: len(out_f)])
+
+
+def test_int8_target_fused_vanilla_consistent():
+    """Host-loop vanilla == fused vanilla scan on the int8 target (both
+    decode paths share the quantized matmul path)."""
+    eng0 = make_engine(3)
+    qparams = quant.quantize_target_params(eng0.params)
+    eng = EagleEngine(qparams, eng0.cfg, eng0.dparams, eng0.dcfg, eng0.ecfg)
+    a = eng.generate_vanilla(PROMPT, max_new_tokens=24)
+    b = eng.generate_vanilla(PROMPT, max_new_tokens=24, fused=True)
+    np.testing.assert_array_equal(a, b)
