@@ -987,20 +987,28 @@ def _bucket(n: int, quantum: int = 128) -> int:
 def calibrate_total_tokens(params: dict, cfg: ModelConfig,
                            candidates=(40, 48, 50, 56, 60),
                            weights=(1.0, 1.05, 1.07, 1.1, 1.13),
-                           max_len: int = 2048, reps: int = 20) -> int:
+                           max_len: int = 2048, reps: int = 20,
+                           batch: int = 1) -> int:
     """Auto-tune the tree size: time a target forward at each candidate
     token count and pick the weighted argmin (ea_model.py:148-168 analog —
     the reference runs this when total_token == -1). Larger trees raise τ
     but lengthen the verify forward; the weights encode the reference's
-    empirical τ gain per size step."""
+    empirical τ gain per size step.
+
+    batch > 1 calibrates the batched-serving verify: with B sequences the
+    tree forward is compute-bound (B·n tokens through the target each
+    round), so verify time grows ~linearly in n and the weighted argmin
+    shifts toward smaller trees — the serving-throughput knob the B=1
+    tuner cannot see."""
     import time
 
     timings = []
     for n in candidates:
-        cache = init_cache(cfg.num_layers, 1, cfg.num_kv_heads, max_len,
+        cache = init_cache(cfg.num_layers, batch, cfg.num_kv_heads, max_len,
                            cfg.head_dim, dtype=cfg.dtype)
-        tokens = jnp.zeros((1, n), jnp.int32)
-        pos = jnp.arange(n, dtype=jnp.int32)[None]
+        tokens = jnp.zeros((batch, n), jnp.int32)
+        pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None],
+                               (batch, n))
 
         @jax.jit
         def fwd(params, tokens, cache, pos):

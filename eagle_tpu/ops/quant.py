@@ -80,16 +80,32 @@ def quantize_draft_params(dparams: dict) -> dict:
     return out
 
 
+def _quantize_linear_host(w) -> dict:
+    """Host (numpy) quantization for 2-D [in, out] or stacked [L, in, out]
+    weights — per-output-channel scales along axis -2, matching
+    quantize_linear / vmap(quantize_linear) exactly."""
+    import numpy as np
+
+    wf = np.asarray(w, np.float32)
+    amax = np.max(np.abs(wf), axis=-2)
+    scale = np.maximum(amax / 127.0, 1e-12).astype(np.float32)
+    q = np.clip(np.round(wf / scale[..., None, :]), -127, 127).astype(np.int8)
+    return {"q8": q, "scale": scale}
+
+
 def quantize_target_params(params: dict) -> dict:
     """Weight-only int8 quantization for a TARGET param tree (the serving
     operating point: nearly halves both the vanilla step's and the verify
     forward's weight streaming).
 
     The target's layer weights are stacked [L, in, out] (scanned in
-    transformer.forward), so quantization vmaps over the layer axis — after
-    the scan slices them, `_dense` sees the same {"q8", "scale"} dicts as
-    the draft path. Embeddings, norms, biases and MoE expert banks (einsum
-    path, not `_dense`) stay unquantized.
+    transformer.forward); after the scan slices them, `_dense` sees the
+    same {"q8", "scale"} dicts as the draft path. Embeddings, norms,
+    biases and MoE expert banks (einsum path, not `_dense`) stay
+    unquantized. Quantization runs on the HOST (numpy): a one-time offline
+    conversion — doing it eagerly on-device would stage ~fp32 copies of
+    every stacked weight next to the resident bf16 tree and OOM a 4B+
+    model on one chip.
 
     Correctness note: this CHANGES the target (unlike draft quantization) —
     outputs match the int8 target's own vanilla decode bit-for-bit (the
@@ -100,10 +116,10 @@ def quantize_target_params(params: dict) -> dict:
     layers = dict(params["layers"])
     for k in _QUANT_KEYS:
         if k in layers and not isinstance(layers[k], dict):
-            layers[k] = jax.vmap(quantize_linear)(layers[k])
+            layers[k] = _quantize_linear_host(layers[k])
     out["layers"] = layers
     if "lm_head" in out and not isinstance(out["lm_head"], dict):
-        out["lm_head"] = quantize_linear(out["lm_head"])
+        out["lm_head"] = _quantize_linear_host(out["lm_head"])
     return out
 
 

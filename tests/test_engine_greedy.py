@@ -191,6 +191,11 @@ def test_calibrate_total_tokens_runs():
     n = calibrate_total_tokens(params, cfg, candidates=(8, 16),
                                weights=(1.0, 1.05), max_len=64, reps=2)
     assert n in (8, 16)
+    # batched-serving calibration (compute-bound regime)
+    nb = calibrate_total_tokens(params, cfg, candidates=(8, 16),
+                                weights=(1.0, 1.05), max_len=64, reps=2,
+                                batch=4)
+    assert nb in (8, 16)
 
 
 def test_pallas_compaction_bit_exact():
