@@ -51,10 +51,13 @@ Methodology invariants (do not "simplify" these):
 
 Prints exactly ONE JSON line on stdout; the headline fields are
 {"metric", "value", "unit", "vs_baseline"} (vs_baseline = speedup / 3.0,
-the BASELINE.md north star), with the full measurement set in extra keys:
+the BASELINE.md north star). "value" is the best LOSSLESS operating point
+— bf16 draft or int8+QAT draft, whichever measures faster ("headline"
+names it; both emit bit-exact greedy output against the same vanilla
+baseline, so the comparison is exact). Extra keys carry the full set:
 absolute tok/s, MBU/MFU (decode round AND prefill), the (τ, speedup)
 sweep, held-out τ, kernel A/B round times, and batched-serving aggregate
-throughput at B ∈ {1, 4, 8} (forced replay per sequence).
+throughput at B ∈ {1, 4, 8} (forced replay per sequence, headline engine).
 """
 
 import dataclasses
@@ -389,11 +392,13 @@ def main():
         f"speedup={speedup:.2f}x | round={round_ms:.2f}ms "
         f"(MFU {mfu_round:.2f}) | total {time.time()-t0:.0f}s")
 
-    # ---- optional: int8 draft with quantization-aware distillation
-    # (BENCH_INT8=1; records whether QAT recovers the τ that post-training
-    # quantization loses, on top of the int8 round-time win)
+    # ---- int8 draft with quantization-aware distillation (default ON;
+    # BENCH_INT8=0 skips). Draft quantization is LOSSLESS — acceptance only
+    # commits target-verified tokens, so greedy output stays bit-exact
+    # (tests/test_quant.py) — which makes int8+QAT a fair headline operating
+    # point against the same vanilla baseline.
     int8_result = None
-    if os.environ.get("BENCH_INT8"):
+    if os.environ.get("BENCH_INT8", "1") != "0":
         tcfg_q = dataclasses.replace(tcfg, quant_aware=True)
         opt_q = ttt.make_optimizer(tcfg_q)
         # same residency discipline as the bf16 distill: donated buffers,
@@ -413,22 +418,39 @@ def main():
         tau_q, round_q, _ = measure_engine(eng_q, reps=2)
         sp_q = (tau_q * 1e3 / round_q) / vanilla_tps
         int8_result = {"tau": round(tau_q, 2), "round_ms": round(round_q, 2),
-                       "speedup": round(sp_q, 2)}
+                       "speedup": round(sp_q, 3)}
         log(f"[bench] int8+QAT: tau={tau_q:.2f} round={round_q:.2f}ms "
             f"speedup={sp_q:.2f}x")
 
-    # ---- batched serving: aggregate tokens/s at B in {1, 4, 8}. Forced
-    # replay per sequence (same reasoning as B=1: keeps every sequence on
-    # its draft's training distribution, so the measurement reflects τ at
-    # the trained operating point rather than the emulation's bf16-chaos
-    # collapse; every timed component runs unchanged)
-    serving = {"1": round(eagle_tps, 1)}
+    # ---- headline = best LOSSLESS operating point (both candidates emit
+    # bit-exact greedy output; the vanilla baseline is identical)
+    if int8_result and int8_result["speedup"] > speedup:
+        headline = {"operating_point": "int8_qat_draft", **int8_result}
+        eng_best = eng_q
+    else:
+        headline = {"operating_point": "bf16_draft", "tau": round(tau, 2),
+                    "round_ms": round(round_ms, 2),
+                    "speedup": round(speedup, 3)}
+        eng_best = eng_h
+    # speedup-vs-τ curve at the headline round time (τ-independent shapes)
+    speedup_at = {str(t): round((t * 1e3 / headline["round_ms"])
+                                / vanilla_tps, 2)
+                  for t in (3, 4, 5, 6, 7)}
+    best_tps = headline["tau"] * 1e3 / headline["round_ms"]
+    log(f"[bench] headline operating point: {headline}")
+
+    # ---- batched serving: aggregate tokens/s at B in {1, 4, 8} on the
+    # headline engine. Forced replay per sequence (same reasoning as B=1:
+    # keeps every sequence on its draft's training distribution, so the
+    # measurement reflects τ at the trained operating point rather than the
+    # emulation's bf16-chaos collapse; every timed component runs unchanged)
+    serving = {"1": round(best_tps, 1)}
     for Bs in (4, 8):
         bp = [data[i % B, :Lp] for i in range(Bs)]
         brefs = [data[i % B] for i in range(Bs)]
 
         def run_batch(budget):
-            outs = retry_flake(lambda: eng_h.generate_batch_fused(
+            outs = retry_flake(lambda: eng_best.generate_batch_fused(
                 bp, max_new_tokens=budget, force_tokens=brefs))
             return sum(len(o) - Lp for o in outs)
 
@@ -437,16 +459,18 @@ def main():
         agg = (n_hi - n_lo) / (tb_hi - tb_lo)
         serving[str(Bs)] = round(agg, 1)
         log(f"[bench] serving B={Bs}: {agg:.1f} aggregate tok/s "
-            f"({agg / eagle_tps:.2f}x of B=1)")
+            f"({agg / best_tps:.2f}x of B=1)")
 
     print(json.dumps({
         "metric": "e2e_speedup_vs_vanilla",
-        "value": round(speedup, 3),
+        "value": headline["speedup"],
         "unit": "x",
-        "vs_baseline": round(speedup / 3.0, 3),
+        "vs_baseline": round(headline["speedup"] / 3.0, 3),
+        "headline": headline,
         "target_params_b": round(n_target_params / 1e9, 2),
         "vanilla_tps": round(vanilla_tps, 1),
-        "eagle_tps": round(eagle_tps, 1),
+        "eagle_tps_bf16": round(eagle_tps, 1),
+        "speedup_bf16": round(speedup, 3),
         "tau": round(tau, 2),
         "tau_heldout": round(tau_ho, 2),
         "speedup_at_tau": speedup_at,
