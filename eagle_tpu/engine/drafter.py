@@ -35,6 +35,35 @@ from ..ops.masks import prefill_mask
 from ..ops.tree import Tree, build_tree
 
 
+def topk_rows(x: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k along the last axis via k iterative argmax passes.
+
+    Bit-identical to `jax.lax.top_k` (values descending; ties broken by
+    ascending index — argmax picks the first maximum, masking exposes the
+    next), but lowers to max-reduces instead of XLA's TopK. Why: inside
+    the engine's vmapped decode round the TopK custom call falls back to a
+    full variadic `sort` of the [B, k, 32000] logits — profiled at 22.5 ms
+    of a 60 ms B=8 round at 4B scale, ~7× the cost of the tree-verify
+    matmuls it feeds. k passes of reduce+mask are ~0.1 ms at that shape
+    and fuse cleanly under vmap/while.
+    """
+    V = x.shape[-1]
+    iota = jax.lax.iota(jnp.int32, V)
+
+    def body(carry, _):
+        cur = carry
+        i = jnp.argmax(cur, axis=-1)
+        v = jnp.take_along_axis(cur, i[..., None], axis=-1)[..., 0]
+        cur = jnp.where(iota == i[..., None], -jnp.inf, cur)
+        return cur, (v, i.astype(jnp.int32))
+
+    _, (vals, idxs) = jax.lax.scan(body, x, None, length=k)
+    # scan stacks on axis 0 → move to the trailing axis
+    vals = jnp.moveaxis(vals, 0, -1)
+    idxs = jnp.moveaxis(idxs, 0, -1)
+    return vals, idxs
+
+
 class DraftRound(NamedTuple):
     tree: Tree
     dcache: KVCache  # committed draft cache (length excludes beam scratch)
@@ -117,7 +146,7 @@ def draft_round_static(dparams: dict, dcfg: DraftConfig, spec: StaticTreeSpec,
         """[n, dV] draft logits → (tokens [n, k] target-vocab, probs_tgt
         [n, V_target] or None)."""
         if not sampled:
-            _, tk = jax.lax.top_k(logits_rows, k)
+            _, tk = topk_rows(logits_rows, k)
             return draft_mod.map_draft_to_target(dparams, dcfg, tk), None
         from .sampling import process_logits
         proc = process_logits(logits_rows, temp,
@@ -125,7 +154,7 @@ def draft_round_static(dparams: dict, dcfg: DraftConfig, spec: StaticTreeSpec,
         probs = jax.nn.softmax(proc, axis=-1)             # [n, dV]
         g = -jnp.log(-jnp.log(jax.random.uniform(
             sub_key, probs.shape, jnp.float32, 1e-20, 1.0)))
-        _, tk = jax.lax.top_k(jnp.log(jnp.maximum(probs, 1e-30)) + g, k)
+        _, tk = topk_rows(jnp.log(jnp.maximum(probs, 1e-30)) + g, k)
         toks = draft_mod.map_draft_to_target(dparams, dcfg, tk)
         dV = probs.shape[-1]
         if dV != dcfg.vocab_size:  # scatter reduced-vocab probs to target ids
@@ -257,7 +286,7 @@ def draft_round(dparams: dict, dcfg: DraftConfig, ecfg: EngineConfig,
     root_logits = draft_mod.draft_logits(dparams, dcfg, root_hidden,
                                          target_lm_head)  # [dV] fp32
     root_lp = jax.nn.log_softmax(root_logits, axis=-1)
-    root_p, root_i = jax.lax.top_k(root_lp, k)            # [k], [k]
+    root_p, root_i = topk_rows(root_lp, k)                # [k], [k]
     root_tok = draft_mod.map_draft_to_target(dparams, dcfg, root_i)
 
     # ---- 3. beam expansion (cnets.py:719-757)
@@ -283,7 +312,7 @@ def draft_round(dparams: dict, dcfg: DraftConfig, ecfg: EngineConfig,
         hid = res.hidden[0]                               # [k, H]
         logits = draft_mod.draft_logits(dparams, dcfg, hid, target_lm_head)
         lp = jax.nn.log_softmax(logits, axis=-1)          # [k, dV]
-        tk_p, tk_i = jax.lax.top_k(lp, k)                 # [k, k]
+        tk_p, tk_i = topk_rows(lp, k)                     # [k, k]
         cand_tok = draft_mod.map_draft_to_target(dparams, dcfg, tk_i)
         cu = tk_p + carry["scores"][:, None]              # [k, k]
         cs_p, cs_i = jax.lax.top_k(cu.reshape(-1), k)     # global beam rerank

@@ -114,3 +114,25 @@ def test_dynamic_tree_invariants_topk():
         for c in ch[n]:
             if c >= 0:
                 assert parents[c] == n
+
+
+def test_topk_rows_matches_lax_top_k():
+    """topk_rows (iterative argmax — immune to XLA's vmapped-TopK sort
+    fallback) must match lax.top_k exactly, including descending value
+    order, for 1-D and batched inputs."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from eagle_tpu.engine.drafter import topk_rows
+
+    rng = np.random.default_rng(0)
+    for shape in ((1000,), (7, 1000), (2, 5, 333)):
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        v0, i0 = jax.lax.top_k(x, 6)
+        v1, i1 = topk_rows(x, 6)
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    # ties: both must order equal values by ascending index
+    xt = jnp.asarray([3.0, 7.0, 7.0, 1.0, 7.0], jnp.float32)
+    _, it = topk_rows(xt, 3)
+    np.testing.assert_array_equal(np.asarray(it), [1, 2, 4])
