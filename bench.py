@@ -375,12 +375,6 @@ def main():
         f"round={round_ho:.2f}ms")
     eagle_tps = tau * 1e3 / round_ms
     speedup = eagle_tps / vanilla_tps
-    # speedup as a function of τ: round time is τ-independent (fixed
-    # shapes; the sweep's round_ms column confirms), so the curve is exact
-    # given the measured round_ms — printed at the τ range real EAGLE-3
-    # checkpoints achieve so the realistic-τ claim is a number
-    speedup_at = {str(t): round((t * 1e3 / round_ms) / vanilla_tps, 2)
-                  for t in (3, 4, 5, 6, 7)}
     # round-level MFU: verify forward (tree_size tokens through the target)
     # + draft extension & beam steps (path_len + depth dispatches)
     flops_round = 2 * (n_target_params * ecfg.tree_size

@@ -27,8 +27,27 @@ from typing import Callable, Iterator, List, Optional
 
 def _history_wrap(fn):
     def t(history: List[dict]) -> str:
-        turns = [m["content"] for m in history if m["role"] == "user"]
-        answers = [m["content"] for m in history if m["role"] == "assistant"]
+        # Normalize to the harness's alternating (turns, answers) form
+        # WITHOUT reordering: consecutive same-role messages merge, and an
+        # assistant-seeded greeting gets an empty leading user turn.
+        turns: List[str] = []
+        answers: List[str] = []
+        for m in history:
+            c = m.get("content", "")
+            role = m.get("role")
+            if role == "user":
+                if len(turns) > len(answers):       # consecutive user
+                    turns[-1] = turns[-1] + "\n" + c
+                else:
+                    turns.append(c)
+            elif role == "assistant":
+                if len(turns) > len(answers):
+                    answers.append(c)
+                elif answers:                       # consecutive assistant
+                    answers[-1] = answers[-1] + "\n" + c
+                else:                               # assistant-seeded chat
+                    turns.append("")
+                    answers.append(c)
         return fn(turns, answers)
     return t
 
@@ -63,14 +82,18 @@ class ChatBackend:
         """Per-request temperature: t>0 values are traced data on the
         sampled-mode engine (no recompile between values); t=0 needs the
         structurally different greedy program. None = the engine's own
-        configured mode. Siblings share all params."""
+        configured mode. Siblings share all params. Check-and-create runs
+        under the generation lock: under ThreadingHTTPServer two first
+        requests would otherwise race to build duplicate sibling engines,
+        each paying its own program compiles."""
         if temperature is None:
             return self.engine
         sampled = temperature > 0
-        eng = self._engines.get(sampled)
-        if eng is None:
-            eng = self.engine.with_sampling(sampled)
-            self._engines[sampled] = eng
+        with self._lock:
+            eng = self._engines.get(sampled)
+            if eng is None:
+                eng = self.engine.with_sampling(sampled)
+                self._engines[sampled] = eng
         return eng
 
     def stream_reply(self, history: List[dict], use_eagle: bool = True,

@@ -86,6 +86,14 @@ class EagleServer:
                seed: int = 0, temperature: Optional[float] = None) -> int:
         """`temperature` (t>0 only; requires a sampled-mode engine) rides as
         traced per-slot data — mixed temperatures in one batch are fine."""
+        if temperature is not None and self.engine.ecfg.temperature == 0.0:
+            # a greedy engine's compiled program never reads the traced
+            # temperature — silently returning argmax output would be a
+            # trap (build the engine with temperature>0, or use
+            # engine.with_sampling(True))
+            raise ValueError(
+                "per-request temperature requires a sampled-mode engine "
+                "(EngineConfig.temperature > 0)")
         rid = self._next_id
         self._next_id += 1
         self.queue.append(_Request(rid, np.asarray(prompt_ids, np.int32),

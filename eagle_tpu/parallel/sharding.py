@@ -134,10 +134,26 @@ def zero_state_specs(tree, mesh: Mesh, axis: str = "data"):
 
 
 def shard_zero_state(tree, mesh: Mesh, axis: str = "data"):
-    """device_put an optax state tree with ZeRO sharding over `axis`."""
+    """device_put an ALREADY-materialized optax state tree with ZeRO
+    sharding over `axis`. Prefer init_sharded_zero_state for fresh init —
+    this path first holds the full replicated state in memory."""
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         tree, zero_state_specs(tree, mesh, axis))
+
+
+def init_sharded_zero_state(opt, trainable, mesh: Mesh, axis: str = "data"):
+    """optax `opt.init` with the state BORN sharded: the state structure is
+    derived abstractly (eval_shape), specs computed, and init jitted with
+    out_shardings — at no point does the full replicated fp32 state exist
+    on any device. This is the ZeRO point: a 1B-param head's ~8 GB AdamW
+    moments would otherwise peak replicated at init, OOMing exactly the
+    configuration state-sharding exists to enable."""
+    shapes = jax.eval_shape(opt.init, trainable)
+    specs = zero_state_specs(shapes, mesh, axis)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=lambda s: isinstance(s, P))
+    return jax.jit(opt.init, out_shardings=shardings)(trainable)
 
 
 def replicate(tree, mesh: Mesh):

@@ -83,8 +83,10 @@ def main(argv=None):
     opt = ttt.make_optimizer(tcfg)
     trainable, _ = ttt.partition_trainable(dparams)
     # ZeRO-analog: AdamW moments sharded over the data axis
-    # (traineagle3/ds_config.json:32-41); params stay replicated
-    opt_state = (shd.shard_zero_state(opt.init(trainable), mesh)
+    # (traineagle3/ds_config.json:32-41); params stay replicated. The
+    # state is born sharded (init jitted with out_shardings) so the full
+    # replicated fp32 moments never exist on any device.
+    opt_state = (shd.init_sharded_zero_state(opt, trainable, mesh)
                  if n_data > 1 else shd.replicate(opt.init(trainable), mesh))
 
     start_epoch = 0

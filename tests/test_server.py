@@ -129,3 +129,14 @@ def test_server_admission_pacing():
     outs = srv.run()
     for rid, ref in zip(rids, refs):
         np.testing.assert_array_equal(outs[rid], ref)
+
+
+def test_server_rejects_temperature_on_greedy_engine():
+    """A greedy engine's compiled program never reads the traced
+    temperature — submit() must refuse instead of silently returning
+    argmax output."""
+    eng, _ = _mk()
+    srv = EagleServer(eng, max_batch=2)
+    with np.testing.assert_raises(ValueError):
+        srv.submit(np.array([5, 17, 92], np.int32), max_new_tokens=8,
+                   temperature=0.7)

@@ -241,9 +241,10 @@ def test_train_step_zero_sharded_opt_state():
     def run(mesh, zero):
         params_s = shd.shard_params(params, mesh, shd.target_param_specs(cfg))
         dparams_s = shd.replicate(dparams, mesh)
-        os0 = opt.init(trainable)
-        os_s = (shd.shard_zero_state(os0, mesh) if zero
-                else shd.replicate(os0, mesh))
+        # zero path: state born sharded (jitted init with out_shardings —
+        # the replicated fp32 moments never materialize)
+        os_s = (shd.init_sharded_zero_state(opt, trainable, mesh) if zero
+                else shd.replicate(opt.init(trainable), mesh))
         batch = jax.tree.map(
             lambda x: jax.device_put(jnp.asarray(x), NamedSharding(
                 mesh, P("data", *([None] * (x.ndim - 1))))), batch_np)

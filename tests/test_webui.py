@@ -89,3 +89,20 @@ def test_omitted_temperature_keeps_engine_mode():
     b2 = webui.ChatBackend(greedy, _encode, _decode, model_type="vicuna")
     assert b2._engine_for(None) is greedy
     assert b2._engine_for(0.7).ecfg.temperature > 0
+
+
+def test_templates_preserve_history_order():
+    """Non-alternating histories must render in conversation order:
+    assistant-seeded greetings come before the first user turn, and
+    consecutive same-role messages merge rather than scramble."""
+    hist = [{"role": "assistant", "content": "GREETING"},
+            {"role": "user", "content": "FIRSTUSER"}]
+    for name, fn in webui.TEMPLATES.items():
+        s = fn(hist)
+        assert s.index("GREETING") < s.index("FIRSTUSER"), (name, s)
+    hist2 = [{"role": "user", "content": "AAA"},
+             {"role": "user", "content": "BBB"},
+             {"role": "assistant", "content": "CCC"}]
+    for name, fn in webui.TEMPLATES.items():
+        s = fn(hist2)
+        assert s.index("AAA") < s.index("BBB") < s.index("CCC"), (name, s)
