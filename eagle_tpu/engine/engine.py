@@ -15,6 +15,7 @@ bit-exactness guarantee.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple, Optional
 
@@ -159,7 +160,6 @@ class EagleEngine:
         engine; t=0 needs the structurally different greedy program."""
         if (self.ecfg.temperature > 0) == bool(sampled):
             return self
-        import dataclasses
         # dparams are already quantized by our own __init__ — don't redo it
         ecfg = dataclasses.replace(
             self.ecfg, temperature=(1.0 if sampled else 0.0),
@@ -511,6 +511,17 @@ class EagleEngine:
             idx = idx + (need > b).astype(jnp.int32)
         return idx
 
+    def _trim_overshoot(self, seq: np.ndarray, prompt_len: int,
+                        max_new_tokens: int) -> np.ndarray:
+        """Trim a fused generation's overshoot (up to one commit window)
+        host-side, stopping at the first EOS if one is configured."""
+        limit = prompt_len + max_new_tokens
+        if self.eos_token_id is not None:
+            hits = np.nonzero(seq[prompt_len:] == self.eos_token_id)[0]
+            if hits.size:
+                limit = min(limit, prompt_len + int(hits[0]) + 1)
+        return seq[:limit]
+
     def _make_ref_buf(self, ft, prompt_row, max_new_tokens: int,
                       label: str = "force_tokens") -> np.ndarray:
         """Validate one forced-replay reference and zero-pad it to the full
@@ -584,15 +595,8 @@ class EagleEngine:
             toks, length, rounds, hits = fn(*args, jnp.asarray(ref_buf))
         else:
             toks, length, rounds, hits = fn(*args)
-        out = np.asarray(toks[0, : int(length)])
-        # trim overshoot; respect EOS if configured
-        limit = Lp + max_new_tokens
-        if self.eos_token_id is not None:
-            gen = out[Lp:]
-            eos_hits = np.nonzero(gen == self.eos_token_id)[0]
-            if eos_hits.size:
-                limit = min(limit, Lp + int(eos_hits[0]) + 1)
-        out = out[:limit]
+        out = self._trim_overshoot(np.asarray(toks[0, : int(length)]), Lp,
+                                   max_new_tokens)
         # log mode reports tokens the engine actually COMMITTED (untrimmed):
         # τ = committed/rounds; the budget-trimmed count would quantize τ by
         # up to one commit window per measurement (and can bias a Δn/Δrounds
@@ -704,16 +708,9 @@ class EagleEngine:
             toks, lengths, rounds = fn(*args)
         toks = np.asarray(toks)
         lengths = np.asarray(lengths)
-        outs = []
-        for i in range(B):
-            seq = toks[i, 0, : lengths[i]]
-            limit = lens[i] + max_new_tokens
-            if self.eos_token_id is not None:
-                gen = seq[lens[i]:]
-                hits = np.nonzero(gen == self.eos_token_id)[0]
-                if hits.size:
-                    limit = min(limit, lens[i] + int(hits[0]) + 1)
-            outs.append(seq[:limit])
+        outs = [self._trim_overshoot(toks[i, 0, : lengths[i]], lens[i],
+                                     max_new_tokens)
+                for i in range(B)]
         if log:
             committed = [int(lengths[i]) - lens[i] for i in range(B)]
             return outs, committed, int(rounds)
