@@ -116,3 +116,36 @@ def test_engine_with_sp_prefill():
     ref = eng_std.generate_vanilla(prompt, max_new_tokens=24)
     np.testing.assert_array_equal(out_std[: len(ref)], ref[: len(out_std)])
     np.testing.assert_array_equal(out_sp, out_std)
+
+
+def test_sliding_window_engine_skips_sp_prefill():
+    """A sliding-window target with sp_mesh configured must take the
+    STANDARD prefill (ring attention is pure-causal and would silently
+    change attention extents vs the decode path — ADVICE r1): greedy
+    speculative output must stay bit-identical to vanilla decode, which
+    applies the window in both phases."""
+    import dataclasses
+    from eagle_tpu.config import EngineConfig
+    from eagle_tpu.engine.engine import EagleEngine
+    from eagle_tpu.models import draft as draft_mod
+    from eagle_tpu.models import transformer
+    from test_engine_greedy import tiny_cfg, tiny_dcfg
+
+    cfg = dataclasses.replace(
+        tiny_cfg(), sliding_window=8,
+        sliding_layer_flags=(True,) * tiny_cfg().num_layers)
+    dcfg = tiny_dcfg(3)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(23))
+    params = transformer.init_params(cfg, k1)
+    dparams = draft_mod.init_params(dcfg, k2)
+    ecfg = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256)
+
+    mesh = shd.make_mesh(n_data=8, n_model=1)
+    eng_sp = EagleEngine(params, cfg, dparams, dcfg, ecfg, sp_mesh=mesh,
+                         sp_axis="data")
+    # prompt long enough that the window actually truncates attention
+    prompt = (np.arange(24, dtype=np.int32) * 11) % cfg.vocab_size
+    with jax.set_mesh(mesh):
+        out_sp = eng_sp.generate(prompt, max_new_tokens=20)
+        ref = eng_sp.generate_vanilla(prompt, max_new_tokens=20)
+    np.testing.assert_array_equal(out_sp[: len(ref)], ref[: len(out_sp)])
