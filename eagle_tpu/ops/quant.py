@@ -111,6 +111,10 @@ def quantize_target_params(params: dict) -> dict:
     outputs match the int8 target's own vanilla decode bit-for-bit (the
     greedy invariant holds within the quantized engine; enforced by
     tests/test_quant.py), not the bf16 target's.
+
+    Single-chip serving path: `parallel.sharding.target_param_specs` maps
+    the bf16 leaf structure, so quantize BEFORE building an engine, on an
+    unsharded tree (int8 + TP would need q8/scale-aware specs — not wired).
     """
     out = dict(params)
     layers = dict(params["layers"])
