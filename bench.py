@@ -57,7 +57,10 @@ names it; both emit bit-exact greedy output against the same vanilla
 baseline, so the comparison is exact). Extra keys carry the full set:
 absolute tok/s, MBU/MFU (decode round AND prefill), the (τ, speedup)
 sweep, held-out τ, kernel A/B round times, and batched-serving aggregate
-throughput at B ∈ {1, 4, 8} (forced replay per sequence, headline engine).
+throughput at B ∈ {1, 4, 8} (forced replay per sequence, headline engine),
+including a serving-calibrated-tree A/B at B=8 ("serving_tree_b8": the
+batched round is verify-compute-bound, so smaller trees trade τ for round
+time; serving["8"] reports the measured-best point on that frontier).
 """
 
 import dataclasses
@@ -439,21 +442,40 @@ def main():
     # measurement reflects τ at the trained operating point rather than the
     # emulation's bf16-chaos collapse; every timed component runs unchanged)
     serving = {"1": round(best_tps, 1)}
-    for Bs in (4, 8):
+
+    def agg_tps(eng_b, Bs):
         bp = [data[i % B, :Lp] for i in range(Bs)]
         brefs = [data[i % B] for i in range(Bs)]
 
         def run_batch(budget):
-            outs = retry_flake(lambda: eng_best.generate_batch_fused(
+            outs = retry_flake(lambda: eng_b.generate_batch_fused(
                 bp, max_new_tokens=budget, force_tokens=brefs))
             return sum(len(o) - Lp for o in outs)
 
         tb_lo, n_lo = timed(lambda: run_batch(LO), n=2)
         tb_hi, n_hi = timed(lambda: run_batch(HI), n=2)
-        agg = (n_hi - n_lo) / (tb_hi - tb_lo)
+        return (n_hi - n_lo) / (tb_hi - tb_lo)
+
+    for Bs in (4, 8):
+        agg = agg_tps(eng_best, Bs)
         serving[str(Bs)] = round(agg, 1)
         log(f"[bench] serving B={Bs}: {agg:.1f} aggregate tok/s "
             f"({agg / best_tps:.2f}x of B=1)")
+
+    # ---- serving-calibrated tree at B=8: the batched round is verify-
+    # compute-bound (B·tree_size tokens through the target each step), so
+    # throughput wants a smaller tree than the B=1 latency point. A/B is
+    # fully measured (round time AND τ, via the same forced replay) on
+    # params-sharing siblings (engine.with_tree); smaller depth lowers the
+    # per-round commit bound, so this trades τ for round time — the JSON
+    # records the whole frontier and serving["8"] picks the best.
+    serving_tree_b8 = {f"{ecfg.total_tokens}/d{ecfg.depth}": serving["8"]}
+    for tt, dd in ((47, 6), (31, 5)):
+        agg = agg_tps(eng_best.with_tree(total_tokens=tt, depth=dd), 8)
+        serving_tree_b8[f"{tt}/d{dd}"] = round(agg, 1)
+        log(f"[bench] serving B=8 tree={tt}/d{dd}: {agg:.1f} aggregate "
+            f"tok/s ({agg / best_tps:.2f}x of B=1)")
+    serving["8"] = max(serving_tree_b8.values())
 
     print(json.dumps({
         "metric": "e2e_speedup_vs_vanilla",
@@ -479,6 +501,7 @@ def main():
         "kernel_ab_round_ms": ab,
         "speedup_vs_tau": sweep,
         "serving_agg_tps": serving,
+        "serving_tree_b8": serving_tree_b8,
         **({"int8_qat": int8_result} if int8_result else {}),
     }))
 

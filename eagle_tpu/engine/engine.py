@@ -153,6 +153,16 @@ class EagleEngine:
         return draft_round(dparams, self.dcfg, self.ecfg, ext_tokens,
                            ext_feats, n_new, dcache, self._lm_head_w)
 
+    def _sibling(self, **ecfg_changes) -> "EagleEngine":
+        """New engine sharing all params/caches-of-origin with an EngineConfig
+        delta. dparams are already quantized by our own __init__ — the
+        sibling must not re-quantize them."""
+        ecfg = dataclasses.replace(self.ecfg, draft_quant="none",
+                                   **ecfg_changes)
+        return EagleEngine(self.params, self.cfg, self.dparams, self.dcfg,
+                           ecfg, eos_token_id=self.eos_token_id,
+                           sp_mesh=self.sp_mesh, sp_axis=self.sp_axis)
+
     def with_sampling(self, sampled: bool) -> "EagleEngine":
         """Sibling engine sharing all params, with the greedy (sampled=False)
         or sampled (sampled=True) program structure. Used to honor
@@ -160,13 +170,27 @@ class EagleEngine:
         engine; t=0 needs the structurally different greedy program."""
         if (self.ecfg.temperature > 0) == bool(sampled):
             return self
-        # dparams are already quantized by our own __init__ — don't redo it
-        ecfg = dataclasses.replace(
-            self.ecfg, temperature=(1.0 if sampled else 0.0),
-            draft_quant="none")
-        return EagleEngine(self.params, self.cfg, self.dparams, self.dcfg,
-                           ecfg, eos_token_id=self.eos_token_id,
-                           sp_mesh=self.sp_mesh, sp_axis=self.sp_axis)
+        return self._sibling(temperature=(1.0 if sampled else 0.0))
+
+    def with_tree(self, total_tokens: Optional[int] = None,
+                  depth: Optional[int] = None,
+                  top_k: Optional[int] = None) -> "EagleEngine":
+        """Sibling engine sharing all params at a different speculation-tree
+        operating point. Batched serving is verify-compute-bound (B·n tree
+        tokens through the target per round), so it wants a smaller tree
+        than the B=1 latency point — `calibrate_total_tokens(batch=N)` is
+        the tuner. Greedy output is invariant to tree size (always equals
+        `generate_vanilla`), so swapping trees changes throughput only."""
+        changes = {k: v for k, v in dict(total_tokens=total_tokens,
+                                         depth=depth, top_k=top_k).items()
+                   if v is not None}
+        if not changes:
+            return self
+        if self.static_spec is not None:
+            raise ValueError(
+                "with_tree tunes dynamic trees; static topologies are fixed "
+                "by EngineConfig.tree_paths — build a new engine instead")
+        return self._sibling(**changes)
 
     def _bucket(self, n: int) -> int:
         """Prompt padding bucket, capped by max_len (a 128-token quantum

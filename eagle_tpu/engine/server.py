@@ -64,8 +64,19 @@ class _Request:
 
 class EagleServer:
     def __init__(self, engine: EagleEngine, max_batch: int = 4,
-                 groups: int = 1, max_admit_per_step: Optional[int] = None):
+                 groups: int = 1, max_admit_per_step: Optional[int] = None,
+                 total_tokens: Optional[int] = None,
+                 depth: Optional[int] = None, top_k: Optional[int] = None):
+        """`total_tokens`/`depth`/`top_k` re-point the engine at a
+        serving-calibrated speculation tree (a params-sharing sibling via
+        `EagleEngine.with_tree`). The batched round is verify-compute-bound
+        — B·tree_size tokens through the target each step — so the
+        throughput-optimal tree shrinks as max_batch grows; tune with
+        `calibrate_total_tokens(params, cfg, batch=max_batch)`. Outputs are
+        unchanged (greedy == generate_vanilla at any tree size)."""
         assert max_batch % groups == 0, (max_batch, groups)
+        engine = engine.with_tree(total_tokens=total_tokens, depth=depth,
+                                  top_k=top_k)
         self.engine = engine
         self.B = max_batch
         self.G = groups

@@ -191,10 +191,12 @@ def cmd_train(argv):
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in ("dump", "train"):
+        is_help = bool(argv) and argv[0] in ("-h", "--help")
         print("usage: python -m eagle_tpu.train.cli_offline "
               "{dump,train} [options]\n"
-              f"shipped draft configs: {CONFIG_DIR}", file=sys.stderr)
-        return 2
+              f"shipped draft configs: {CONFIG_DIR}",
+              file=sys.stdout if is_help else sys.stderr)
+        return 0 if is_help else 2
     return {"dump": cmd_dump, "train": cmd_train}[argv[0]](argv[1:])
 
 

@@ -140,3 +140,40 @@ def test_server_rejects_temperature_on_greedy_engine():
     with np.testing.assert_raises(ValueError):
         srv.submit(np.array([5, 17, 92], np.int32), max_new_tokens=8,
                    temperature=0.7)
+
+
+def test_server_serving_tree_bit_exact():
+    """A serving-calibrated (smaller) tree changes throughput only: the
+    server built with a tree override still reproduces single-request
+    greedy outputs bit-exactly (which equal generate_vanilla)."""
+    eng0 = make_engine(1)
+    prompts = [np.array([5, 17, 92, 3], np.int32),
+               np.array([7, 1], np.int32),
+               np.array([44, 8, 21, 9], np.int32)]
+    refs = [eng0.generate_vanilla(p, max_new_tokens=16) for p in prompts]
+
+    srv = EagleServer(eng0, max_batch=2, total_tokens=7, depth=2, top_k=3)
+    assert srv.engine is not eng0
+    assert srv.engine.ecfg.tree_size == 8
+    assert srv.engine.params is eng0.params  # sibling shares params
+    rids = [srv.submit(p, 16) for p in prompts]
+    outs = srv.run()
+    for rid, ref in zip(rids, refs):
+        np.testing.assert_array_equal(outs[rid], ref)
+
+
+def test_with_tree_sibling_semantics():
+    """with_tree: params-sharing sibling, greedy output invariant to tree
+    size; no-op without changes; refuses static topologies."""
+    from eagle_tpu.ops.tree import CHAIN_5
+
+    eng = make_engine(3)
+    p = np.array([5, 17, 92, 3], np.int32)
+    ref = eng.generate_vanilla(p, max_new_tokens=20)
+    small = eng.with_tree(total_tokens=5, depth=2, top_k=2)
+    assert small.dparams is eng.dparams
+    np.testing.assert_array_equal(small.generate(p, max_new_tokens=20), ref)
+    assert eng.with_tree() is eng
+    static = make_engine(1, tree_paths=CHAIN_5)
+    with np.testing.assert_raises(ValueError):
+        static.with_tree(total_tokens=5)
