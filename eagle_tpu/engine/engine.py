@@ -206,19 +206,26 @@ class EagleEngine:
         margin = 16 if e.compact_impl == "pallas" else 0
         return -(-(e.max_len + e.tree_size + margin) // 128) * 128
 
-    def init_caches(self) -> tuple[KVCache, KVCache]:
-        e, c, d = self.ecfg, self.cfg, self.dcfg
-        tgt_len = self._tgt_len()
+    def init_target_cache(self, rows: Optional[int] = None) -> KVCache:
+        """Dense target KV (default full-size; `rows` for paged-mode prompt
+        scratch that only needs to hold the prefill before page scatter)."""
+        c = self.cfg
+        return init_cache(c.num_layers, 1, c.num_kv_heads,
+                          rows if rows is not None else self._tgt_len(),
+                          c.head_dim, dtype=c.dtype)
+
+    def init_draft_cache(self) -> KVCache:
+        e, d = self.ecfg, self.dcfg
         # draft scratch: beam rows (dynamic) or tree rows (static) +
         # extension-window padding
         scratch = (e.tree_size if self.static_spec is not None
                    else (e.depth + 1) * e.top_k)
         dft_len = e.max_len + scratch + self.path_len
-        cache = init_cache(c.num_layers, 1, c.num_kv_heads, tgt_len,
-                           c.head_dim, dtype=c.dtype)
-        dcache = init_cache(d.num_layers if d.version == 1 else 1, 1,
-                            d.num_kv_heads, dft_len, d.head_dim, dtype=d.dtype)
-        return cache, dcache
+        return init_cache(d.num_layers if d.version == 1 else 1, 1,
+                          d.num_kv_heads, dft_len, d.head_dim, dtype=d.dtype)
+
+    def init_caches(self) -> tuple[KVCache, KVCache]:
+        return self.init_target_cache(), self.init_draft_cache()
 
     # ------------------------------------------------------------------
     # speculative path

@@ -1,0 +1,264 @@
+"""PagedEagleServer — continuous batching over a shared KV page pool.
+
+`EagleServer` (engine/server.py) gives every slot a dense
+`batch × max_len`-row target KV slab, the reference's allocation model
+(/root/reference/eagle/model/kv_cache.py:4-157) batched up. That bounds
+concurrency by the *worst-case* context per slot. This subclass stores
+target KV in a shared page pool (ops/paged_kv.py): per-slot block tables map
+logical rows to pages, pages are allocated as sequences grow and recycled
+when they finish, so HBM capacity scales with the sum of live context
+lengths — the vLLM serving model, built TPU-native (fixed shapes, block
+tables as traced data, gather→round→scatter around the unmodified
+speculative round, which keeps paged greedy output bit-identical to the
+dense server and to `generate_vanilla`).
+
+What is paged: the target KV (L layers — the dominant allocation). The
+draft KV stays dense per slot (1 layer for EAGLE-3 — a few % of the
+target's), as do the token buffers (int32).
+
+Preemption: when the pool cannot cover a running slot's growth, the
+youngest active request is evicted — its pages freed, its context so far
+requeued as a fresh prompt (prefill-resume). Greedy decoding is Markov in
+the committed tokens, so a preempted-and-resumed request still produces
+bit-identical output; sampled requests resume on a fresh RNG fold (the
+trajectory up to preemption is kept, the continuation re-randomizes —
+the same contract as vLLM recompute preemption). The pool must be large
+enough for any single request's worst case (one slot's pages); anything
+beyond that only changes how many requests run concurrently.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.kv_cache import KVCache
+from ..ops.paged_kv import (PagePool, gather_windows, init_pool,
+                            scatter_prefix, scatter_rows)
+from ..ops.tree import Tree
+from .engine import EagleEngine, EngineState
+from .server import EagleServer, _Request, _Slot
+
+
+class PagedSlotState(NamedTuple):
+    """EngineState minus the dense target cache (which lives in the pool)."""
+    tokens: jnp.ndarray
+    length: jnp.ndarray
+    dcache: KVCache
+    tree: Tree
+    key: jax.Array
+    done: jnp.ndarray
+    temperature: jnp.ndarray
+
+
+def _strip(st: EngineState) -> PagedSlotState:
+    return PagedSlotState(tokens=st.tokens, length=st.length,
+                          dcache=st.dcache, tree=st.tree, key=st.key,
+                          done=st.done, temperature=st.temperature)
+
+
+class PageAllocator:
+    """Host-side free-list of physical page ids. Page 0 is reserved as the
+    trash page (inactive block-table entries point at it)."""
+
+    def __init__(self, num_pages: int):
+        assert num_pages >= 2, "need at least one real page + the trash page"
+        self.num_pages = num_pages
+        self._free: List[int] = list(range(num_pages - 1, 0, -1))
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> Optional[List[int]]:
+        if len(self._free) < n:
+            return None
+        return [self._free.pop() for _ in range(n)]
+
+    def release(self, pages: List[int]):
+        self._free.extend(pages)
+
+
+class PagedEagleServer(EagleServer):
+    def __init__(self, engine: EagleEngine, max_batch: int = 4,
+                 groups: int = 1, max_admit_per_step: Optional[int] = None,
+                 page_size: int = 128, num_pages: Optional[int] = None,
+                 total_tokens: Optional[int] = None,
+                 depth: Optional[int] = None, top_k: Optional[int] = None):
+        """`page_size`: KV rows per page; must divide the prompt bucket
+        quantum (min(128, max_len)) so prefilled buckets scatter as whole
+        pages. `num_pages`: pool capacity (default: enough for every slot at
+        full max_len — no memory win, pure paging; size it down to cap HBM:
+        capacity then limits the SUM of live contexts, not each one)."""
+        super().__init__(engine, max_batch, groups, max_admit_per_step,
+                         total_tokens=total_tokens, depth=depth, top_k=top_k)
+        eng = self.engine
+        quantum = min(128, eng.ecfg.max_len)
+        if quantum % page_size != 0:
+            raise ValueError(
+                f"page_size {page_size} must divide the prompt bucket "
+                f"quantum {quantum}")
+        self.P = page_size
+        self._S_tok = eng._tgt_len()
+        self.pages_per_slot = -(-self._S_tok // page_size)
+        if num_pages is None:
+            num_pages = max_batch * self.pages_per_slot + 1  # + trash page
+        self.allocator = PageAllocator(num_pages)
+        c = eng.cfg
+        self._pool = init_pool(c.num_layers, c.num_kv_heads, num_pages,
+                               page_size, c.head_dim, dtype=c.dtype)
+        self._bt = [np.zeros((self.Bg, self.pages_per_slot), np.int32)
+                    for _ in range(groups)]
+        self._pages: Dict[Tuple[int, int], List[int]] = {}
+        self._round_p: Dict = {}    # window size -> jitted paged round
+        self._prefill_p: Dict = {}  # prompt bucket -> jitted paged prefill
+        self.preemptions = 0
+
+    @property
+    def pool_bytes(self) -> int:
+        return self._pool.k.nbytes + self._pool.v.nbytes
+
+    # ------------------------------------------------------------------
+    # admission
+    # ------------------------------------------------------------------
+
+    def _prefill_paged(self, params, dparams, toks, plen, cache_small,
+                       dcache, key, temp, pool, pages):
+        """Prefill into a prompt-bucket-sized dense scratch, scatter its KV
+        into the pool, widen the token buffer to full size."""
+        eng = self.engine
+        st = eng._prefill(params, dparams, toks, plen, cache_small, dcache,
+                          key, temp)
+        big = jnp.zeros((1, self._S_tok), jnp.int32)
+        big = jax.lax.dynamic_update_slice(big, st.tokens, (0, 0))
+        pool = scatter_prefix(pool, pages, st.cache.k, st.cache.v, self.P)
+        return pool, _strip(st)._replace(tokens=big)
+
+    def _place(self, req: _Request, g: int, slot_idx: int) -> bool:
+        eng = self.engine
+        Lp = len(req.prompt)
+        Tp = eng._bucket(Lp)
+        npg = Tp // self.P
+        pages = self.allocator.alloc(npg)
+        if pages is None:
+            if not any(s.active for grp in self.slots for s in grp):
+                raise RuntimeError(
+                    f"page pool too small: prompt needs {npg} pages, pool "
+                    f"has {self.allocator.num_pages - 1} usable total")
+            return False  # wait for running requests to free pages
+        padded = np.zeros((1, Tp), np.int32)
+        padded[0, :Lp] = req.prompt
+        fn = self._prefill_p.get(Tp)
+        if fn is None:
+            # donate dcache + pool (aliased into outputs); the prompt-scratch
+            # cache is consumed by the page scatter, nothing aliases it
+            fn = jax.jit(self._prefill_paged, donate_argnums=(5, 8))
+            self._prefill_p[Tp] = fn
+        self._pool, st = fn(
+            eng.params, eng.dparams, jnp.asarray(padded), jnp.int32(Lp),
+            eng.init_target_cache(rows=Tp), eng.init_draft_cache(),
+            jax.random.PRNGKey(req.seed), eng._temp(req.temperature),
+            self._pool, jnp.asarray(pages, jnp.int32))
+        self._pages[(g, slot_idx)] = pages
+        self._bt[g][slot_idx, :] = 0
+        self._bt[g][slot_idx, :npg] = pages
+        self._ensure_state(g, st)
+        self._insert(g, slot_idx, st)
+        self._bind_slot(req, g, slot_idx)
+        return True
+
+    # ------------------------------------------------------------------
+    # growth + preemption
+    # ------------------------------------------------------------------
+
+    def _grow(self, g: int):
+        """Ensure every active slot's pages cover this round's scatter-back
+        window [length, length + path_len). Lengths come from exact host
+        bookkeeping (prompt_len + emitted) — no device sync."""
+        eng = self.engine
+        for i, slot in enumerate(self.slots[g]):
+            if not slot.active:
+                continue
+            committed = slot.prompt_len + slot.emitted
+            need = min(-(-(committed + eng.path_len) // self.P),
+                       self.pages_per_slot)
+            pages = self._pages[(g, i)]
+            while len(pages) < need:
+                got = self.allocator.alloc(need - len(pages))
+                if got is not None:
+                    self._bt[g][i, len(pages):need] = got
+                    pages.extend(got)
+                    break
+                if not self._preempt_one(protect=(g, i)):
+                    raise RuntimeError(
+                        "page pool exhausted: a single request needs more "
+                        "pages than the pool holds — size num_pages for at "
+                        "least one full-length request")
+
+    def _preempt_one(self, protect: Tuple[int, int]) -> bool:
+        """Evict the youngest active request (≠ protect): free its pages and
+        requeue its context-so-far as a fresh prompt (prefill-resume)."""
+        cands = [(grp, j, s)
+                 for grp in range(self.G)
+                 for j, s in enumerate(self.slots[grp])
+                 if s.active and (grp, j) != protect]
+        if not cands:
+            return False
+        g, i, s = max(cands, key=lambda t: t[2].admit_seq)
+        ctx = np.asarray(self.outputs[s.request_id], np.int32)
+        self.queue.appendleft(_Request(
+            s.request_id, ctx, s.max_new - s.emitted, s.seed, s.temperature))
+        self._release_slot(g, i)
+        self.preemptions += 1
+        return True
+
+    # ------------------------------------------------------------------
+    # round dispatch
+    # ------------------------------------------------------------------
+
+    def _make_round(self, window: int):
+        eng, P, path_len = self.engine, self.P, self.engine.path_len
+
+        def fn(params, dparams, pool, states, bt):
+            win_k, win_v = gather_windows(pool, bt, window, P)
+            starts, pre_active = states.length, ~states.done
+
+            def per_slot(s: PagedSlotState, wk, wv):
+                cache = KVCache(k=wk, v=wv, length=s.length[None])
+                est = EngineState(tokens=s.tokens, length=s.length,
+                                  cache=cache, dcache=s.dcache, tree=s.tree,
+                                  key=s.key, done=s.done,
+                                  temperature=s.temperature)
+                new, out = eng._round(params, dparams, est, batched=True)
+                return _strip(new), new.cache.k, new.cache.v, out
+
+            states, wk, wv, out = jax.vmap(
+                per_slot, in_axes=(0, 0, 0))(states, win_k, win_v)
+            pool = scatter_rows(pool, bt, wk, wv, starts, path_len, P,
+                                active=pre_active)
+            return pool, states, out
+
+        return jax.jit(fn, donate_argnums=(2, 3))
+
+    def _dispatch_round(self, g: int):
+        self._grow(g)
+        eng = self.engine
+        window = self._group_bucket(g) or self._S_tok
+        fn = self._round_p.get(window)
+        if fn is None:
+            fn = self._make_round(window)
+            self._round_p[window] = fn
+        self._pool, self._states[g], r = fn(
+            eng.params, eng.dparams, self._pool, self._states[g],
+            jnp.asarray(self._bt[g]))
+        return r
+
+    def _release_slot(self, g: int, slot_idx: int):
+        pages = self._pages.pop((g, slot_idx), None)
+        if pages:
+            self.allocator.release(pages)
+        self._bt[g][slot_idx, :] = 0
+        super()._release_slot(g, slot_idx)

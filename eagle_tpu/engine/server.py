@@ -51,6 +51,10 @@ class _Slot:
     emitted: int = 0
     max_new: int = 0
     done_reason: Optional[str] = None
+    # request parameters kept for paged-mode preemption (re-prefill resume)
+    seed: int = 0
+    temperature: Optional[float] = None
+    admit_seq: int = -1
 
 
 @dataclass
@@ -90,6 +94,7 @@ class EagleServer:
         self._states: List[Optional[EngineState]] = [None] * groups
         self._round_b: Dict = {}  # kv_limit -> jitted vmapped round (Bg)
         self.max_admit = max_admit_per_step or max_batch
+        self._admit_seq = 0  # admission order, for paged preemption
 
     # ------------------------------------------------------------------
 
@@ -195,14 +200,27 @@ class EagleServer:
 
                 free.sort(key=fit)
             g, i = free[0]
+            if not self._place(req, g, i):
+                break  # backend can't take it now (e.g. paged pool full)
             self.queue.popleft()
-            st = self._prefill_one(req)
-            self._ensure_state(g, st)
-            self._insert(g, i, st)
-            self.slots[g][i] = _Slot(active=True, request_id=req.request_id,
-                                     prompt_len=len(req.prompt),
-                                     max_new=req.max_new)
             admitted += 1
+
+    def _place(self, req: _Request, g: int, slot_idx: int) -> bool:
+        """Prefill `req` and bind it to slot (g, slot_idx). Returns False if
+        the backend cannot admit right now (base: never)."""
+        st = self._prefill_one(req)
+        self._ensure_state(g, st)
+        self._insert(g, slot_idx, st)
+        self._bind_slot(req, g, slot_idx)
+        return True
+
+    def _bind_slot(self, req: _Request, g: int, slot_idx: int):
+        self.slots[g][slot_idx] = _Slot(
+            active=True, request_id=req.request_id,
+            prompt_len=len(req.prompt), max_new=req.max_new,
+            seed=req.seed, temperature=req.temperature,
+            admit_seq=self._admit_seq)
+        self._admit_seq += 1
 
     def step(self) -> Dict[int, np.ndarray]:
         """One scheduler iteration: admit queued requests into free slots,
@@ -219,18 +237,7 @@ class EagleServer:
             if self._states[g] is None or \
                     not any(s.active for s in self.slots[g]):
                 continue
-            kv_limit = self._group_bucket(g)
-            fn = self._round_b.get(kv_limit)
-            if fn is None:
-                fn = jax.jit(
-                    jax.vmap(lambda p, dp, s: eng._round(p, dp, s,
-                                                         kv_limit=kv_limit,
-                                                         batched=True),
-                             in_axes=(None, None, 0)),
-                    donate_argnums=(2,))
-                self._round_b[kv_limit] = fn
-            self._states[g], r = fn(eng.params, eng.dparams, self._states[g])
-            results.append((g, r))
+            results.append((g, self._dispatch_round(g)))
 
         for g, r in results:
             alens = np.asarray(r.accept_len)
@@ -258,9 +265,30 @@ class EagleServer:
                 if slot.done_reason is not None:
                     self.finished[slot.request_id] = np.asarray(
                         self.outputs.pop(slot.request_id), np.int32)
-                    self.slots[g][i] = _Slot()
-                    self._mark_done(g, i)
+                    self._release_slot(g, i)
         return emitted
+
+    def _dispatch_round(self, g: int):
+        """Run one vmapped speculative round for group g (async dispatch);
+        update the group state and return the batched RoundOutput."""
+        eng = self.engine
+        kv_limit = self._group_bucket(g)
+        fn = self._round_b.get(kv_limit)
+        if fn is None:
+            fn = jax.jit(
+                jax.vmap(lambda p, dp, s: eng._round(p, dp, s,
+                                                     kv_limit=kv_limit,
+                                                     batched=True),
+                         in_axes=(None, None, 0)),
+                donate_argnums=(2,))
+            self._round_b[kv_limit] = fn
+        self._states[g], r = fn(eng.params, eng.dparams, self._states[g])
+        return r
+
+    def _release_slot(self, g: int, slot_idx: int):
+        """Free slot bookkeeping after its request finished."""
+        self.slots[g][slot_idx] = _Slot()
+        self._mark_done(g, slot_idx)
 
     def run(self, max_steps: int = 100000) -> Dict[int, np.ndarray]:
         """Drive until queue + slots drain; return all finished outputs."""

@@ -1,0 +1,139 @@
+"""Paged KV storage — a shared page pool with per-slot block tables.
+
+The reference preallocates one contiguous KV slab per sequence for the whole
+engine lifetime (/root/reference/eagle/model/kv_cache.py:4-157), so serving
+memory is `batch × max_len` rows even when most slots hold short contexts.
+Production serving wants vLLM-style paging: KV rows live in a pool of
+fixed-size pages shared by every slot, a per-slot *block table* maps logical
+row `i` to physical row `bt[i // P] * P + i % P`, and pages are allocated as
+sequences grow and recycled when they finish. Capacity then scales with the
+*sum* of live context lengths, not `batch × max_len`.
+
+TPU-native design (vs. vLLM's CUDA paged-attention kernel):
+- The pool is two fixed-shape arrays `[L, n_kv, R, d]` (R = pages × P rows).
+  Block tables are tiny int32 `[B, max_pages]` arrays that ride into the
+  jitted round as *data* — page churn never recompiles anything.
+- The decode round runs gather → round → scatter: each slot's logical window
+  `[0, W)` is gathered into a contiguous scratch (whole pages, one XLA
+  gather), the unmodified speculative round runs on that window exactly as
+  it would on a dense cache — which is what makes paged greedy output
+  bit-identical to the dense path — and only the round's newly written rows
+  (`path_len` per slot, at logical `[length, length + path_len)`) are
+  scattered back. Per-round pool traffic is therefore `read W + write W
+  (gather) + write path_len (scatter)`: one extra window *write* over the
+  dense path, the price of page indirection under XLA. A Pallas kernel that
+  reads pages in place would remove it; measured on TPU before that's
+  warranted (see PARITY.md).
+- Page 0 is reserved as a trash page: inactive slots' block tables point at
+  it, so the fixed-shape gather/scatter never needs a branch — reads from it
+  are masked by attention (rows ≥ length), writes to it are discarded by
+  construction.
+
+Allocation policy lives on the host (`engine/paged.py`): the device side
+here is pure fixed-shape array movement.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PagePool(NamedTuple):
+    k: jnp.ndarray  # [L, n_kv, R, d] — R = num_pages * page_size rows
+    v: jnp.ndarray  # [L, n_kv, R, d]
+
+    @property
+    def rows(self) -> int:
+        return self.k.shape[2]
+
+
+def init_pool(num_layers: int, num_kv_heads: int, num_pages: int,
+              page_size: int, head_dim: int, dtype=jnp.bfloat16) -> PagePool:
+    shape = (num_layers, num_kv_heads, num_pages * page_size, head_dim)
+    return PagePool(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def gather_windows(pool: PagePool, block_tables: jnp.ndarray, window: int,
+                   page_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Materialize each slot's logical rows [0, window) as contiguous
+    scratch.
+
+    block_tables: [B, max_pages] int32 physical page ids (0 = trash page for
+    slots/rows that were never allocated — their values are garbage and must
+    be masked downstream, which attention's length masking already does).
+    Returns (k, v): [B, L, 1, n_kv, window, d] — the per-slot dense-cache
+    layout the engine round expects under vmap.
+    """
+    L, n_kv, R, d = pool.k.shape
+    P = page_size
+    npg = -(-window // P)
+    pages = block_tables[:, :npg]                        # [B, npg]
+    kp = pool.k.reshape(L, n_kv, R // P, P, d)
+    vp = pool.v.reshape(L, n_kv, R // P, P, d)
+
+    def one(pages_b):
+        kw = jnp.take(kp, pages_b, axis=2)               # [L, n_kv, npg, P, d]
+        vw = jnp.take(vp, pages_b, axis=2)
+        kw = kw.reshape(L, n_kv, npg * P, d)[:, :, :window]
+        vw = vw.reshape(L, n_kv, npg * P, d)[:, :, :window]
+        return kw[:, None], vw[:, None]                  # [L, 1, n_kv, W, d]
+
+    return jax.vmap(one)(pages)
+
+
+def scatter_rows(pool: PagePool, block_tables: jnp.ndarray,
+                 window_k: jnp.ndarray, window_v: jnp.ndarray,
+                 starts: jnp.ndarray, n_rows: int, page_size: int,
+                 active: jnp.ndarray) -> PagePool:
+    """Write each slot's window rows [starts_b, starts_b + n_rows) back to
+    the pool (the rows a decode round modifies: the compacted accepted
+    branch). `active`: [B] bool — inactive slots are routed to the trash
+    page (their block tables may be stale/freed). Slots never share pages,
+    so the scatter is collision-free for active slots; trash-page collisions
+    between inactive slots are harmless by definition.
+
+    window_k/v: [B, L, 1, n_kv, W, d]; starts: [B] int32.
+    """
+    B = window_k.shape[0]
+    L, n_kv, _, d = pool.k.shape
+    P = page_size
+    logical = starts[:, None] + jnp.arange(n_rows, dtype=jnp.int32)  # [B, n]
+    phys = (jnp.take_along_axis(block_tables, logical // P, axis=1) * P
+            + logical % P)                                           # [B, n]
+    # inactive → rows [0, n) of the trash page (page 0)
+    phys = jnp.where(active[:, None], phys,
+                     jnp.arange(n_rows, dtype=jnp.int32)[None] % P)
+
+    def rows_of(w_b, logical_b):
+        return jnp.take(w_b[:, 0], logical_b, axis=2)    # [L, n_kv, n, d]
+
+    k_rows = jax.vmap(rows_of)(window_k, logical)        # [B, L, n_kv, n, d]
+    v_rows = jax.vmap(rows_of)(window_v, logical)
+    k_rows = jnp.moveaxis(k_rows, 0, 2).reshape(L, n_kv, B * n_rows, d)
+    v_rows = jnp.moveaxis(v_rows, 0, 2).reshape(L, n_kv, B * n_rows, d)
+    flat = phys.reshape(B * n_rows)
+    return PagePool(
+        k=pool.k.at[:, :, flat].set(k_rows.astype(pool.k.dtype)),
+        v=pool.v.at[:, :, flat].set(v_rows.astype(pool.v.dtype)))
+
+
+def scatter_prefix(pool: PagePool, pages: jnp.ndarray, cache_k: jnp.ndarray,
+                   cache_v: jnp.ndarray, page_size: int) -> PagePool:
+    """Whole-page scatter of a freshly prefilled dense cache into the pool.
+
+    cache_k/v: [L, 1, n_kv, Tp, d] with Tp % page_size == 0 (prompt buckets
+    are multiples of the page size by construction); pages: [Tp / P] int32
+    physical page ids covering logical rows [0, Tp). Rows past the true
+    prompt length are garbage in the dense cache too — masked by length.
+    """
+    L, _, n_kv, Tp, d = cache_k.shape
+    P = page_size
+    assert Tp % P == 0, (Tp, P)
+    phys = (pages[:, None] * P
+            + jnp.arange(P, dtype=jnp.int32)[None]).reshape(-1)     # [Tp]
+    return PagePool(
+        k=pool.k.at[:, :, phys].set(cache_k[:, 0].astype(pool.k.dtype)),
+        v=pool.v.at[:, :, phys].set(cache_v[:, 0].astype(pool.v.dtype)))
