@@ -76,9 +76,16 @@ class EagleServer:
         `EagleEngine.with_tree`). The batched round is verify-compute-bound
         — B·tree_size tokens through the target each step — so the
         throughput-optimal tree shrinks as max_batch grows; tune with
-        `calibrate_total_tokens(params, cfg, batch=max_batch)`. Outputs are
+        `calibrate_total_tokens(params, cfg, batch=max_batch)`, or pass
+        total_tokens=-1 to run that calibration here (the from_pretrained
+        total_token=-1 convention, at serving batch size). Outputs are
         unchanged (greedy == generate_vanilla at any tree size)."""
         assert max_batch % groups == 0, (max_batch, groups)
+        if total_tokens == -1:
+            from .engine import calibrate_total_tokens
+            total_tokens = calibrate_total_tokens(
+                engine.params, engine.cfg, max_len=engine.ecfg.max_len,
+                batch=max_batch)
         engine = engine.with_tree(total_tokens=total_tokens, depth=depth,
                                   top_k=top_k)
         self.engine = engine

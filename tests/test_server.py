@@ -162,6 +162,18 @@ def test_server_serving_tree_bit_exact():
         np.testing.assert_array_equal(outs[rid], ref)
 
 
+def test_server_auto_calibrated_tree():
+    """total_tokens=-1 runs calibrate_total_tokens at serving batch size
+    (the from_pretrained convention); outputs stay bit-exact."""
+    eng0 = make_engine(1)
+    p = np.array([5, 17, 92, 3], np.int32)
+    ref = eng0.generate_vanilla(p, max_new_tokens=12)
+    srv = EagleServer(eng0, max_batch=2, total_tokens=-1)
+    assert srv.engine.ecfg.total_tokens in (40, 48, 50, 56, 60)
+    rid = srv.submit(p, 12)
+    np.testing.assert_array_equal(srv.run()[rid], ref)
+
+
 def test_with_tree_sibling_semantics():
     """with_tree: params-sharing sibling, greedy output invariant to tree
     size; no-op without changes; refuses static topologies."""
