@@ -8,7 +8,8 @@ Runs anywhere (CPU or TPU):
 3. Compares vanilla decoding vs speculative decoding (greedy must match
    bit-for-bit) and prints τ / per-round acceptance.
 4. Shows sampled generation, batched generation, and the continuous-batching
-   server.
+   servers (dense slots + the paged-KV page-pool server, which must produce
+   bit-identical outputs).
 For real checkpoints, see EagleEngine.from_pretrained in the README.
 """
 
@@ -105,6 +106,17 @@ def main():
     r1 = srv.submit(corpus[2, :6], 12)
     done = srv.run()
     print(f"   finished: { {k: len(v) for k, v in done.items()} }")
+
+    print("\n== paged-KV server (shared page pool, same outputs)")
+    from eagle_tpu.engine.paged import PagedEagleServer
+    psrv = PagedEagleServer(eng, max_batch=2, page_size=16)
+    p0 = psrv.submit(corpus[0, :6], 12)
+    p1 = psrv.submit(corpus[2, :6], 12)
+    pdone = psrv.run()
+    assert all(np.array_equal(pdone[p], done[r])
+               for p, r in ((p0, r0), (p1, r1))), "paged != dense outputs"
+    print(f"   pool {psrv.pool_bytes / 1e6:.1f} MB, outputs bit-identical "
+          "to the dense server")
     print("\nAll demo stages OK.")
 
 

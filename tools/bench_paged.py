@@ -1,0 +1,170 @@
+"""Paged-KV serving overhead at 4B scale — dense vs paged batched round.
+
+PagedEagleServer's XLA read path gathers each slot's logical KV window into
+contiguous scratch before the (unmodified) round and scatters the accepted
+rows back after it (ops/paged_kv.py). That costs one extra window-sized HBM
+write per round over the dense server. This probe measures that price
+directly: it times the jitted B=8 batched round — dense (kv_limit slice) vs
+paged (gather → round → scatter, block tables fully populated) — at the
+serving-calibrated tree (31/d5) and window 512, on the int8-quantized 4B
+target (host-built weights, same trick as bench_int8_target.py; round TIME
+is weight-value-independent). Correctness (bit-exactness vs the dense
+server) is pinned by tests/test_paged_server.py; this is the perf leg.
+
+Run: python tools/bench_paged.py  (real TPU, ~10 min cold)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import numpy as np
+import ml_dtypes
+import jax, jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from eagle_tpu.config import DraftConfig, EngineConfig, ModelConfig, RopeConfig
+from eagle_tpu.engine.engine import EagleEngine
+from eagle_tpu.engine.paged import PagedEagleServer
+from eagle_tpu.engine.server import EagleServer
+from eagle_tpu.models import draft as draft_mod
+from eagle_tpu.ops.quant import quantize_target_params
+
+H, L, F, NQ, NKV, D, V = 3072, 28, 12288, 24, 8, 128, 32000
+B, WINDOW, PAGE = 8, 512, 128
+cfg = ModelConfig(vocab_size=V, hidden_size=H, intermediate_size=F,
+                  num_layers=L, num_q_heads=NQ, num_kv_heads=NKV, head_dim=D,
+                  rope=RopeConfig(theta=500000.0), dtype=jnp.bfloat16)
+dcfg = DraftConfig(version=3, hidden_size=H, intermediate_size=F,
+                   num_q_heads=NQ, num_kv_heads=NKV, head_dim=D, vocab_size=V,
+                   target_hidden_size=H, dtype=jnp.bfloat16)
+
+rng = np.random.default_rng(0)
+bf16 = ml_dtypes.bfloat16
+
+
+def rnd(*shape, scale=0.02):
+    return (rng.standard_normal(shape, dtype=np.float32) * scale).astype(bf16)
+
+
+hp = {
+    "embed": {"w": rnd(V, H)},
+    "layers": {
+        "ln1": np.ones((L, H), bf16), "ln2": np.ones((L, H), bf16),
+        "wq": rnd(L, H, NQ * D), "wk": rnd(L, H, NKV * D),
+        "wv": rnd(L, H, NKV * D), "wo": rnd(L, NQ * D, H),
+        "w_gate": rnd(L, H, F), "w_up": rnd(L, H, F),
+        "w_down": rnd(L, F, H),
+    },
+    "final_norm": np.ones((H,), bf16),
+    "lm_head": (rnd(H, V, scale=0.16)),
+}
+t = time.time()
+qparams = jax.tree.map(jnp.asarray, quantize_target_params(hp))
+jax.block_until_ready(qparams)
+del hp
+print(f"int8 target uploaded in {time.time()-t:.0f}s", file=sys.stderr,
+      flush=True)
+dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(1))
+dparams["embed"]["w"] = qparams["embed"]["w"]
+
+# serving-calibrated tree (BENCH r2 serving_tree_b8 winner); window fixed at
+# 512 for both paths via kv_buckets
+ecfg = EngineConfig(total_tokens=31, depth=5, top_k=10, max_len=1024,
+                    kv_buckets=(WINDOW,), draft_quant="int8")
+eng = EagleEngine(qparams, cfg, dparams, dcfg, ecfg)
+prompts = [rng.integers(0, V, size=16).astype(np.int32) for _ in range(B)]
+
+
+def retry(fn, tries=3, wait=45):
+    for i in range(tries):
+        try:
+            return fn()
+        except Exception as e:
+            if ("RESOURCE_EXHAUSTED" not in str(e)
+                    and "FAILED_PRECONDITION" not in str(e)) or i == tries - 1:
+                raise
+            print(f"transient, retry in {wait}s", file=sys.stderr, flush=True)
+            time.sleep(wait)
+
+
+def slope_ms(step_once, k_lo=8, k_hi=32):
+    """Per-round ms as a slope between two chained-dispatch counts (the
+    fixed ~90 ms tunnel dispatch overhead cancels)."""
+    def run(k):
+        t0 = time.time()
+        for _ in range(k):
+            step_once()
+        step_once.block()
+        return time.time() - t0
+    run(2)  # warm/compile
+    t_lo = min(run(k_lo) for _ in range(2))
+    t_hi = min(run(k_hi) for _ in range(2))
+    return 1e3 * (t_hi - t_lo) / (k_hi - k_lo)
+
+
+# ---- dense batched round ------------------------------------------------
+srv_d = EagleServer(eng, max_batch=B)
+for p in prompts:
+    srv_d.submit(p, 10 ** 6)
+retry(srv_d.step)  # admit + one warm round
+
+
+class DenseStep:
+    def __init__(self):
+        self.fn = srv_d._round_b[WINDOW]
+        self.st = srv_d._states[0]
+
+    def __call__(self):
+        self.st, _ = self.fn(eng.params, eng.dparams, self.st)
+
+    def block(self):
+        jax.block_until_ready(self.st.length)
+
+
+dense = DenseStep()
+dense_ms = retry(lambda: slope_ms(dense))
+print(f"dense  B={B} round: {dense_ms:.2f} ms", flush=True)
+del dense, srv_d
+
+# ---- paged batched round ------------------------------------------------
+srv_p = PagedEagleServer(eng, max_batch=B, page_size=PAGE)
+for p in prompts:
+    srv_p.submit(p, 10 ** 6)
+retry(srv_p.step)
+# fully populate each slot's block table over the window so the gather reads
+# real (non-trash) pages — worst-case page indirection
+npg = WINDOW // PAGE
+for i in range(B):
+    have = srv_p._pages[(0, i)]
+    extra = srv_p.allocator.alloc(npg - len(have))
+    have.extend(extra)
+    srv_p._bt[0][i, :npg] = have[:npg]
+
+
+class PagedStep:
+    def __init__(self):
+        self.fn = srv_p._round_p.get(WINDOW) or srv_p._make_round(WINDOW)
+        self.pool = srv_p._pool
+        self.st = srv_p._states[0]
+        self.bt = jnp.asarray(srv_p._bt[0])
+
+    def __call__(self):
+        self.pool, self.st, _ = self.fn(eng.params, eng.dparams, self.pool,
+                                        self.st, self.bt)
+
+    def block(self):
+        jax.block_until_ready(self.st.length)
+
+
+paged = PagedStep()
+paged_ms = retry(lambda: slope_ms(paged))
+gather_gb = 2 * 2 * B * L * NKV * WINDOW * D / 1e9  # bf16 k+v window r+w
+print(f"paged  B={B} round: {paged_ms:.2f} ms "
+      f"(+{paged_ms - dense_ms:.2f} ms, "
+      f"{100 * (paged_ms / dense_ms - 1):.1f}% over dense; window gather "
+      f"moves {gather_gb:.2f} GB/round)", flush=True)
+print(f"pool = {srv_p.pool_bytes / 1e9:.2f} GB for {B} slots; dense KV = "
+      f"{2 * 2 * B * L * NKV * eng._tgt_len() * D / 1e9:.2f} GB", flush=True)
