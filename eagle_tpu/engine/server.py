@@ -128,10 +128,11 @@ class EagleServer:
         if self._states[g] is not None:
             return
         # allocate the batched state by broadcasting a template (all slots
-        # start done=True → inert until a request is scattered in)
-        st = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (self.Bg,) + x.shape).copy(),
-            template)
+        # start done=True → inert until a request is scattered in). Under
+        # jit so XLA propagates the template's shardings (TP-sharded KV
+        # leaves carry GSPMD shardings that eager broadcast can't extend).
+        st = jax.jit(lambda t: jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (self.Bg,) + x.shape), t))(template)
         self._states[g] = st._replace(done=jnp.ones((self.Bg,), bool))
 
     def _prefill_one(self, req: _Request) -> EngineState:
@@ -150,13 +151,23 @@ class EagleServer:
                        jax.random.PRNGKey(req.seed),
                        eng._temp(req.temperature))
 
+    # slot scatter/flagging run jitted (donated in-place; eager .at ops
+    # can't extend the GSPMD shardings TP-sharded KV leaves carry)
+    _insert_jit = staticmethod(jax.jit(
+        lambda full, one, i: jax.tree.map(
+            lambda f, o: f.at[i].set(o.astype(f.dtype)), full, one),
+        donate_argnums=(0,)))
+    _mark_done_jit = staticmethod(jax.jit(
+        lambda done, i: done.at[i].set(True), donate_argnums=(0,)))
+
     def _insert(self, g: int, slot_idx: int, st: EngineState):
-        self._states[g] = jax.tree.map(
-            lambda full, one: full.at[slot_idx].set(one), self._states[g], st)
+        self._states[g] = self._insert_jit(self._states[g], st,
+                                           jnp.int32(slot_idx))
 
     def _mark_done(self, g: int, slot_idx: int):
         self._states[g] = self._states[g]._replace(
-            done=self._states[g].done.at[slot_idx].set(True))
+            done=self._mark_done_jit(self._states[g].done,
+                                     jnp.int32(slot_idx)))
 
     # ------------------------------------------------------------------
 

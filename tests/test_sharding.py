@@ -82,6 +82,35 @@ def test_engine_runs_sharded():
     np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
 
 
+def test_servers_run_sharded():
+    """Continuous-batching servers (dense slots AND the paged page pool)
+    with a TP-sharded engine reproduce the unsharded engine's greedy
+    outputs bit-exactly — the multi-chip serving configuration."""
+    from eagle_tpu.engine.paged import PagedEagleServer
+    from eagle_tpu.engine.server import EagleServer
+
+    cfg = tp_cfg()
+    dcfg = tiny_dcfg(3)
+    params = transformer.init_params(cfg, jax.random.PRNGKey(1))
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(2))
+    ecfg = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256)
+    eng_ref = EagleEngine(params, cfg, dparams, dcfg, ecfg)
+    prompts = [PROMPT, PROMPT[:4]]
+    refs = [eng_ref.generate(p, max_new_tokens=16) for p in prompts]
+
+    mesh = shd.make_mesh(n_data=1, n_model=8)
+    params_s = shd.shard_params(params, mesh, shd.target_param_specs(cfg))
+    dparams_s = shd.replicate(dparams, mesh)
+    eng = EagleEngine(params_s, cfg, dparams_s, dcfg, ecfg)
+    with jax.set_mesh(mesh):
+        for srv in (EagleServer(eng, max_batch=2),
+                    PagedEagleServer(eng, max_batch=2, page_size=16)):
+            rids = [srv.submit(p, 16) for p in prompts]
+            outs = srv.run()
+            for rid, ref in zip(rids, refs):
+                np.testing.assert_array_equal(outs[rid], ref)
+
+
 def test_train_step_dp_tp():
     cfg = tp_cfg()
     dcfg = tiny_dcfg(3)
