@@ -121,6 +121,25 @@ class PagedEagleServer(EagleServer):
     def pool_bytes(self) -> int:
         return self._pool.k.nbytes + self._pool.v.nbytes
 
+    def submit(self, prompt_ids, max_new_tokens: int = 512,
+               seed: int = 0, temperature=None) -> int:
+        """Reject requests the pool can never serve at submit time — an
+        unadmittable prompt would otherwise head-of-line-block admission
+        and finally abort the serve loop once running requests drain."""
+        eng = self.engine
+        Lp = len(prompt_ids)
+        worst_rows = max(eng._bucket(Lp),
+                         min(self._S_tok, Lp + max_new_tokens + eng.path_len))
+        need = min(self.pages_per_slot, -(-worst_rows // self.P))
+        usable = self.allocator.num_pages - 1
+        if need > usable:
+            raise ValueError(
+                f"request needs up to {need} pages over its lifetime "
+                f"(prompt {Lp} + max_new {max_new_tokens}); pool holds only "
+                f"{usable} usable pages — raise num_pages or shorten the "
+                "request")
+        return super().submit(prompt_ids, max_new_tokens, seed, temperature)
+
     # ------------------------------------------------------------------
     # admission
     # ------------------------------------------------------------------
@@ -139,8 +158,7 @@ class PagedEagleServer(EagleServer):
 
     def _place(self, req: _Request, g: int, slot_idx: int) -> bool:
         eng = self.engine
-        Lp = len(req.prompt)
-        Tp = eng._bucket(Lp)
+        padded, Lp, Tp = self._pad_prompt(req)
         npg = Tp // self.P
         pages = self.allocator.alloc(npg)
         if pages is None:
@@ -149,8 +167,6 @@ class PagedEagleServer(EagleServer):
                     f"page pool too small: prompt needs {npg} pages, pool "
                     f"has {self.allocator.num_pages - 1} usable total")
             return False  # wait for running requests to free pages
-        padded = np.zeros((1, Tp), np.int32)
-        padded[0, :Lp] = req.prompt
         fn = self._prefill_p.get(Tp)
         if fn is None:
             # donate dcache + pool (aliased into outputs); the prompt-scratch
@@ -158,7 +174,7 @@ class PagedEagleServer(EagleServer):
             fn = jax.jit(self._prefill_paged, donate_argnums=(5, 8))
             self._prefill_p[Tp] = fn
         self._pool, st = fn(
-            eng.params, eng.dparams, jnp.asarray(padded), jnp.int32(Lp),
+            eng.params, eng.dparams, padded, jnp.int32(Lp),
             eng.init_target_cache(rows=Tp), eng.init_draft_cache(),
             jax.random.PRNGKey(req.seed), eng._temp(req.temperature),
             self._pool, jnp.asarray(pages, jnp.int32))
@@ -210,7 +226,8 @@ class PagedEagleServer(EagleServer):
         g, i, s = max(cands, key=lambda t: t[2].admit_seq)
         ctx = np.asarray(self.outputs[s.request_id], np.int32)
         self.queue.appendleft(_Request(
-            s.request_id, ctx, s.max_new - s.emitted, s.seed, s.temperature))
+            s.request_id, ctx, s.max_new - s.emitted, s.seed, s.temperature,
+            admit_seq=s.admit_seq))
         self._release_slot(g, i)
         self.preemptions += 1
         return True

@@ -64,6 +64,9 @@ class _Request:
     max_new: int
     seed: int
     temperature: Optional[float] = None  # None → engine default
+    # original admission order, preserved across paged preemption-resume
+    # (-1 = never admitted; _bind_slot stamps a fresh seq)
+    admit_seq: int = -1
 
 
 class EagleServer:
@@ -135,18 +138,23 @@ class EagleServer:
             lambda x: jnp.broadcast_to(x, (self.Bg,) + x.shape), t))(template)
         self._states[g] = st._replace(done=jnp.ones((self.Bg,), bool))
 
-    def _prefill_one(self, req: _Request) -> EngineState:
-        eng = self.engine
+    def _pad_prompt(self, req: _Request):
+        """Zero-pad the prompt to its bucket: (tokens [1,Tp], Lp, Tp)."""
         Lp = len(req.prompt)
-        Tp = eng._bucket(Lp)
+        Tp = self.engine._bucket(Lp)
         padded = np.zeros((1, Tp), np.int32)
         padded[0, :Lp] = req.prompt
+        return jnp.asarray(padded), Lp, Tp
+
+    def _prefill_one(self, req: _Request) -> EngineState:
+        eng = self.engine
+        padded, Lp, Tp = self._pad_prompt(req)
         cache, dcache = eng.init_caches()
         prefill = eng._prefill_jit.get(Tp)
         if prefill is None:
             prefill = jax.jit(eng._prefill, donate_argnums=(4, 5))
             eng._prefill_jit[Tp] = prefill
-        return prefill(eng.params, eng.dparams, jnp.asarray(padded),
+        return prefill(eng.params, eng.dparams, padded,
                        jnp.int32(Lp), cache, dcache,
                        jax.random.PRNGKey(req.seed),
                        eng._temp(req.temperature))
@@ -233,12 +241,18 @@ class EagleServer:
         return True
 
     def _bind_slot(self, req: _Request, g: int, slot_idx: int):
+        # a preempted-and-resumed request keeps its ORIGINAL admit_seq —
+        # otherwise the resumee is always the "youngest" and the paged
+        # preemptor would evict it again before it runs a single round
+        # (vLLM preserves arrival order across recompute preemption)
+        if req.admit_seq < 0:
+            req.admit_seq = self._admit_seq
+            self._admit_seq += 1
         self.slots[g][slot_idx] = _Slot(
             active=True, request_id=req.request_id,
             prompt_len=len(req.prompt), max_new=req.max_new,
             seed=req.seed, temperature=req.temperature,
-            admit_seq=self._admit_seq)
-        self._admit_seq += 1
+            admit_seq=req.admit_seq)
 
     def step(self) -> Dict[int, np.ndarray]:
         """One scheduler iteration: admit queued requests into free slots,

@@ -101,12 +101,45 @@ def test_paged_preemption_resume_bit_exact():
         np.testing.assert_array_equal(outs[rid], ref)
 
 
-def test_paged_pool_too_small_raises():
+def test_paged_pool_too_small_rejects_at_submit():
+    """A request the pool can never serve fails fast at submit() with a
+    sizing error instead of head-of-line-blocking admission and aborting
+    the serve loop later."""
     eng = make_engine(1)
     srv = PagedEagleServer(eng, max_batch=1, page_size=16, num_pages=2)
-    srv.submit(PROMPTS[0], 40)
-    with pytest.raises(RuntimeError, match="pool"):
-        srv.run()
+    with pytest.raises(ValueError, match="pages"):
+        srv.submit(PROMPTS[0], 40)
+    # a request that fits the pool end to end is still accepted
+    srv2 = PagedEagleServer(eng, max_batch=1, page_size=16, num_pages=17)
+    srv2.submit(PROMPTS[0], 40)
+    srv2.run()
+
+
+def test_preemption_preserves_arrival_order():
+    """A preempted-and-resumed request keeps its ORIGINAL admit_seq, so the
+    next preemption victim is chosen by true arrival order — a resumee must
+    not become 'youngest' again and thrash (vLLM's recompute contract)."""
+    eng = make_engine(1)
+    srv = PagedEagleServer(eng, max_batch=2, page_size=16, num_pages=17)
+    ra = srv.submit(PROMPTS[0], 140)
+    rb = srv.submit(PROMPTS[1], 140)
+    srv.step()  # admits both
+    by_rid = {s.request_id: s for grp in srv.slots for s in grp if s.active}
+    assert set(by_rid) == {ra, rb}
+    seq_b = by_rid[rb].admit_seq
+    assert by_rid[ra].admit_seq < seq_b
+    ga, ia = next((g, i) for g in range(srv.G)
+                  for i, s in enumerate(srv.slots[g]) if s.request_id == ra)
+    assert srv._preempt_one(protect=(ga, ia))  # evicts rb (youngest)
+    assert srv.queue[0].request_id == rb
+    assert srv.queue[0].admit_seq == seq_b  # preserved on the requeue
+    srv.step()  # readmits rb
+    by_rid = {s.request_id: s for grp in srv.slots for s in grp if s.active}
+    assert by_rid[rb].admit_seq == seq_b  # and on the re-bound slot
+    outs = srv.run()
+    singles = [eng.generate(p, max_new_tokens=140) for p in PROMPTS[:2]]
+    for rid, ref in zip([ra, rb], singles):
+        np.testing.assert_array_equal(outs[rid], ref)
 
 
 def test_page_size_must_divide_bucket_quantum():

@@ -10,15 +10,13 @@ dense vanilla 5.37 ms (MBU 0.90), round 7.09 ms; capacity 5.43/7.31.
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
 import numpy as np
 import jax, jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+from _probe_common import retry, timed
 from eagle_tpu.config import DraftConfig, EngineConfig, ModelConfig, RopeConfig
 from eagle_tpu.engine.engine import EagleEngine
 from eagle_tpu.models import draft as draft_mod
@@ -26,27 +24,6 @@ from eagle_tpu.models import transformer
 
 H, L, F, NQ, NKV, D, V, E = 1536, 12, 4096, 12, 4, 128, 32000, 8
 rng = np.random.default_rng(0)
-
-
-def retry(fn, tries=3, wait=45):
-    for i in range(tries):
-        try:
-            return fn()
-        except Exception as e:
-            if ("RESOURCE_EXHAUSTED" not in str(e)
-                    and "FAILED_PRECONDITION" not in str(e)) or i == tries - 1:
-                raise
-            print(f"transient, retry in {wait}s", file=sys.stderr, flush=True)
-            time.sleep(wait)
-
-
-def timed(fn, n=3):
-    fn()
-    best = float("inf")
-    for _ in range(n):
-        t = time.time(); fn(); best = min(best, time.time() - t)
-    return best
-
 
 prompt = rng.integers(0, V, size=16).astype(np.int32)
 LO, HI = 16, 112

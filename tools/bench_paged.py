@@ -7,8 +7,8 @@ write per round over the dense server. This probe measures that price
 directly: it times the jitted B=8 batched round — dense (kv_limit slice) vs
 paged (gather → round → scatter, block tables fully populated) — at the
 serving-calibrated tree (31/d5) and window 512, on the int8-quantized 4B
-target (host-built weights, same trick as bench_int8_target.py; round TIME
-is weight-value-independent). Correctness (bit-exactness vs the dense
+target (host-built weights, tools/_probe_common.py; round TIME is
+weight-value-independent). Correctness (bit-exactness vs the dense
 server) is pinned by tests/test_paged_server.py; this is the perf leg.
 
 Run: python tools/bench_paged.py  (real TPU, ~10 min cold)
@@ -18,76 +18,36 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
 import numpy as np
-import ml_dtypes
 import jax, jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-from eagle_tpu.config import DraftConfig, EngineConfig, ModelConfig, RopeConfig
+from _probe_common import (CFG_4B, DCFG_4B, D, L, NKV, V, host_params_4b,
+                           retry)
+from eagle_tpu.config import EngineConfig
 from eagle_tpu.engine.engine import EagleEngine
 from eagle_tpu.engine.paged import PagedEagleServer
 from eagle_tpu.engine.server import EagleServer
 from eagle_tpu.models import draft as draft_mod
 from eagle_tpu.ops.quant import quantize_target_params
 
-H, L, F, NQ, NKV, D, V = 3072, 28, 12288, 24, 8, 128, 32000
 B, WINDOW, PAGE = 8, 512, 128
-cfg = ModelConfig(vocab_size=V, hidden_size=H, intermediate_size=F,
-                  num_layers=L, num_q_heads=NQ, num_kv_heads=NKV, head_dim=D,
-                  rope=RopeConfig(theta=500000.0), dtype=jnp.bfloat16)
-dcfg = DraftConfig(version=3, hidden_size=H, intermediate_size=F,
-                   num_q_heads=NQ, num_kv_heads=NKV, head_dim=D, vocab_size=V,
-                   target_hidden_size=H, dtype=jnp.bfloat16)
-
 rng = np.random.default_rng(0)
-bf16 = ml_dtypes.bfloat16
 
-
-def rnd(*shape, scale=0.02):
-    return (rng.standard_normal(shape, dtype=np.float32) * scale).astype(bf16)
-
-
-hp = {
-    "embed": {"w": rnd(V, H)},
-    "layers": {
-        "ln1": np.ones((L, H), bf16), "ln2": np.ones((L, H), bf16),
-        "wq": rnd(L, H, NQ * D), "wk": rnd(L, H, NKV * D),
-        "wv": rnd(L, H, NKV * D), "wo": rnd(L, NQ * D, H),
-        "w_gate": rnd(L, H, F), "w_up": rnd(L, H, F),
-        "w_down": rnd(L, F, H),
-    },
-    "final_norm": np.ones((H,), bf16),
-    "lm_head": (rnd(H, V, scale=0.16)),
-}
 t = time.time()
-qparams = jax.tree.map(jnp.asarray, quantize_target_params(hp))
+qparams = jax.tree.map(jnp.asarray, quantize_target_params(host_params_4b()))
 jax.block_until_ready(qparams)
-del hp
 print(f"int8 target uploaded in {time.time()-t:.0f}s", file=sys.stderr,
       flush=True)
-dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(1))
+dparams = draft_mod.init_params(DCFG_4B, jax.random.PRNGKey(1))
 dparams["embed"]["w"] = qparams["embed"]["w"]
 
 # serving-calibrated tree (BENCH r2 serving_tree_b8 winner); window fixed at
 # 512 for both paths via kv_buckets
 ecfg = EngineConfig(total_tokens=31, depth=5, top_k=10, max_len=1024,
                     kv_buckets=(WINDOW,), draft_quant="int8")
-eng = EagleEngine(qparams, cfg, dparams, dcfg, ecfg)
+eng = EagleEngine(qparams, CFG_4B, dparams, DCFG_4B, ecfg)
 prompts = [rng.integers(0, V, size=16).astype(np.int32) for _ in range(B)]
-
-
-def retry(fn, tries=3, wait=45):
-    for i in range(tries):
-        try:
-            return fn()
-        except Exception as e:
-            if ("RESOURCE_EXHAUSTED" not in str(e)
-                    and "FAILED_PRECONDITION" not in str(e)) or i == tries - 1:
-                raise
-            print(f"transient, retry in {wait}s", file=sys.stderr, flush=True)
-            time.sleep(wait)
 
 
 def slope_ms(step_once, k_lo=8, k_hi=32):
@@ -140,6 +100,10 @@ npg = WINDOW // PAGE
 for i in range(B):
     have = srv_p._pages[(0, i)]
     extra = srv_p.allocator.alloc(npg - len(have))
+    if extra is None:
+        raise SystemExit(
+            f"pool too small to pad slot {i} to {npg} pages "
+            f"({srv_p.allocator.free_pages} free) — raise num_pages")
     have.extend(extra)
     srv_p._bt[0][i, :npg] = have[:npg]
 
