@@ -77,6 +77,10 @@ class ChatBackend:
         self.eos_token_id = eos_token_id
         self._lock = threading.Lock()  # one generation at a time
         self._engines = {self.engine.ecfg.temperature > 0: self.engine}
+        # one EagleSession per engine mode: turn N+1 prefills only the new
+        # turn's tokens (multi-turn KV reuse — the reference re-prefills the
+        # whole history every turn); edited histories rewind automatically
+        self._sessions: dict = {}
 
     def _engine_for(self, temperature: Optional[float]):
         """Per-request temperature: t>0 values are traced data on the
@@ -108,8 +112,19 @@ class ChatBackend:
         t0 = time.time()
         with self._lock:
             if use_eagle:
+                from ..engine.session import EagleSession
+
+                sess = self._sessions.get(id(engine))
+                if sess is None:
+                    sess = EagleSession(engine)
+                    self._sessions[id(engine)] = sess
+                if (len(ids) + engine.path_len + 1 >= engine.ecfg.max_len):
+                    yield {"error": "conversation exceeds the engine's "
+                                    f"max_len ({engine.ecfg.max_len}); "
+                                    "start a new chat", "done": True}
+                    return
                 prev = len(ids)
-                for all_ids, st in engine.generate_stream(
+                for all_ids, st in sess.stream(
                         ids, max_new_tokens=max_new_tokens,
                         eos_token_id=self.eos_token_id,
                         temperature=temperature or None):
@@ -124,6 +139,7 @@ class ChatBackend:
                         "highlight": int(st["accept_len"]),
                         "tokens_per_s": st["new_tokens"] / max(dt, 1e-6),
                         "compression_ratio": st["new_tokens"] / st["rounds"],
+                        "reused_prefix": int(st["reused_prefix"]),
                         "done": False,
                     }
             else:

@@ -98,6 +98,7 @@ class EagleEngine:
         else:
             self._lm_head_w = None
         self._prefill_jit = {}
+        self._extend_jit = {}  # extend-window bucket -> jitted _extend
         self._round_jit = jax.jit(self._round, donate_argnums=(2,))
         self._round_jit_batched = None
         self._vanilla_prefill_jit = {}
@@ -285,6 +286,56 @@ class EagleEngine:
         tokens_buf = jnp.zeros((1, S), jnp.int32)
         tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, tokens, (0, 0))
         return EngineState(tokens=tokens_buf, length=prompt_len, cache=cache,
+                           dcache=dr.dcache, tree=dr.tree, key=key,
+                           done=jnp.bool_(False), temperature=temperature)
+
+    def _extend(self, params, dparams, tokens, n_new, start, state, key,
+                temperature=None):
+        """Incremental prefill: append context tokens to a committed state
+        (multi-turn KV reuse — the reference re-prefills the whole history
+        every turn, ea_model.py:199-241 resets all caches per call).
+
+        tokens: [1, Te] padded window whose row 0 is the ALREADY-COMMITTED
+            token at position `start` (= resume point − 1) and rows
+            1..n_new−1 are the appended context. Re-running the boundary row
+            reproduces its target features — needed because its draft pair's
+            input token was the previous turn's uncommitted bonus, not the
+            new context's first token — and rewrites its target-KV row with
+            bit-identical values (same token, same positions, same causal
+            extent as the original forward).
+        n_new: scalar int32 valid rows (1 + appended tokens).
+        start: scalar int32 resume position; may be < state.length (rewind:
+            host-side EOS/budget trimming or an edited history — stale rows
+            past `start` are overwritten or masked by length).
+        Returns a fresh EngineState (length = start + n_new) whose next
+        `_round` continues bit-identically to a from-scratch prefill of the
+        full context (greedy), cf. tests/test_session.py.
+        """
+        if temperature is None:
+            temperature = jnp.float32(self.ecfg.temperature)
+        Te = tokens.shape[1]
+        S = state.cache.max_len
+        cache = with_length(state.cache, start[None])
+        pos = (start + jnp.arange(Te, dtype=jnp.int32))[None]
+        mask = prefill_mask(Te, S, cache.length)
+        res = transformer.forward(params, self.cfg, tokens, cache, pos, mask)
+        last_logits = transformer.lm_head(
+            params, self.cfg, res.hidden[0, n_new - 1])            # [V] fp32
+        key, k1, k_draft = jax.random.split(key, 3)
+        root = self._pick_token(last_logits, k1, temperature)
+        new_len = start + n_new
+        cache = with_length(res.cache, new_len[None])
+
+        feats = _target_feats(res, self.dcfg.version)[0]           # [Te, F]
+        ext_tokens = jnp.concatenate(
+            [tokens[0, 1:], jnp.zeros((1,), jnp.int32)]
+        ).at[n_new - 1].set(root)
+        dcache = with_length(state.dcache, start[None])
+        dr = self._draft_round(dparams, ext_tokens, feats, n_new, dcache,
+                               key=k_draft, temperature=temperature)
+        tokens_buf = jax.lax.dynamic_update_slice(state.tokens, tokens,
+                                                  (0, start))
+        return EngineState(tokens=tokens_buf, length=new_len, cache=cache,
                            dcache=dr.dcache, tree=dr.tree, key=key,
                            done=jnp.bool_(False), temperature=temperature)
 

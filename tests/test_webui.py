@@ -91,6 +91,27 @@ def test_omitted_temperature_keeps_engine_mode():
     assert b2._engine_for(0.7).ecfg.temperature > 0
 
 
+def test_multiturn_session_reuse_bit_exact():
+    """Turn 2 of a chat reuses the turn-1 KV (reused_prefix > 0) and the
+    reply is bit-identical to a from-scratch generation over the same
+    templated history (greedy invariant through the session path)."""
+    enc = lambda s: np.frombuffer(s.encode(), np.uint8).astype(np.int32) % 128
+    eng = make_engine(1)
+    backend = webui.ChatBackend(eng, enc, _decode, model_type="vicuna")
+    hist = [{"role": "user", "content": "abc"}]
+    evs1 = [e for e in backend.stream_reply(hist, max_new_tokens=10)
+            if not e.get("done")]
+    assert evs1[0]["reused_prefix"] == 0
+    hist += [{"role": "assistant", "content": evs1[-1]["text"]},
+             {"role": "user", "content": "de"}]
+    evs2 = [e for e in backend.stream_reply(hist, max_new_tokens=10)
+            if not e.get("done")]
+    assert evs2[0]["reused_prefix"] > 0  # turn-1 KV reused
+    ids2 = enc(backend.template(hist))
+    ref = eng.generate(ids2, max_new_tokens=10)
+    assert evs2[-1]["text"] == _decode(ref[len(ids2):])
+
+
 def test_templates_preserve_history_order():
     """Non-alternating histories must render in conversation order:
     assistant-seeded greetings come before the first user turn, and
