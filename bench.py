@@ -69,6 +69,17 @@ import os
 import sys
 import time
 
+# Some host VMs demand-fault fresh anonymous pages at ~6 MB/s (single
+# thread) — a few GB of host snapshots would add many minutes. Re-exec once
+# with glibc tuned to keep freed pages resident (no mmap/munmap churn), so
+# only the FIRST allocation of the working set pays the fault-in, and that
+# payment is made up front by a 4-thread pre-fault (~4x the single-thread
+# rate). On a healthy VM both are near-free.
+if os.environ.get("MALLOC_MMAP_MAX_") != "0":
+    os.execve(sys.executable, [sys.executable] + sys.argv,
+              dict(os.environ, MALLOC_MMAP_MAX_="0",
+                   MALLOC_TRIM_THRESHOLD_="-1"))
+
 import numpy as np
 
 import jax
@@ -76,6 +87,21 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def prefault_host_arena(gb: float = 4.0, threads: int = 4):
+    """Touch `gb` of heap once (in parallel) so later numpy allocations of
+    the bench's host working set (distill recovery snapshots, sweep
+    re-uploads) reuse resident pages at memory speed."""
+    import threading as th
+    n = int(gb * 1e9 / 4 / threads)
+    bufs = [np.empty(n, np.float32) for _ in range(threads)]
+    ts = [th.Thread(target=b.fill, args=(0.0,)) for b in bufs]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    del bufs
 
 # v5e single-chip peaks (public spec): 197 TFLOP/s bf16, 819 GB/s HBM
 PEAK_FLOPS = 197e12
@@ -135,6 +161,9 @@ def main():
     from eagle_tpu.train import ttt
 
     t0 = time.time()
+    if not os.environ.get("BENCH_TINY"):
+        prefault_host_arena()
+        log(f"[bench] host arena pre-faulted in {time.time()-t0:.1f}s")
     # ~4.07B params: H=3072, 28 layers, FFN 12288, 24q/8kv heads, d=128
     H, L, F, NQ, NKV, D, V = 3072, 28, 12288, 24, 8, 128, 32000
     if os.environ.get("BENCH_TINY"):  # logic smoke test (CPU, seconds)

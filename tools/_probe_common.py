@@ -1,16 +1,24 @@
 """Shared plumbing for the real-TPU probe scripts in tools/.
 
-One copy of: the persistent-compile-cache setup, the transient-error retry
-wrapper, the min-of-n timer, and the host-built 4B llama-class param tree
-(numpy on host — the tunnel's device->host pull of an 8 GB tree is
-pathologically slow, so probes build weights host-side and upload once;
-round/step TIME is weight-value-independent).
+One copy of: the malloc tuning + persistent-compile-cache setup, the
+transient-error retry wrapper, the min-of-n timer, and the 4B llama-class
+param tree builders. Weights are built ON DEVICE (this VM's host memory
+demand-faults fresh pages at ~6 MB/s — a host-built 8 GB tree costs ~25
+minutes of page faulting before the first upload byte moves; probe TIME is
+weight-value-independent, so random device-side values are exactly as
+good).
 """
+import os
 import sys
 import time
 
+# keep freed glibc pages resident — see bench.py's matching block
+if os.environ.get("MALLOC_MMAP_MAX_") != "0":
+    os.execve(sys.executable, [sys.executable] + sys.argv,
+              dict(os.environ, MALLOC_MMAP_MAX_="0",
+                   MALLOC_TRIM_THRESHOLD_="-1"))
+
 import jax
-import ml_dtypes
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -55,24 +63,37 @@ def timed(fn, n=3):
     return best
 
 
-def host_params_4b(seed=0):
-    """Host-built (numpy bf16) 4B target param tree; random values."""
-    rng = np.random.default_rng(seed)
-    bf16 = ml_dtypes.bfloat16
+def device_int8_params_4b(seed=0):
+    """Random int8-quantized 4B target tree, built directly on device.
 
-    def rnd(*shape, scale=0.02):
-        return (rng.standard_normal(shape, dtype=np.float32)
-                * scale).astype(bf16)
+    Leaf structure matches ops/quant.quantize_target_params exactly
+    ({"q8": int8 [..., in, out], "scale": f32 [..., out]} for the seven
+    layer projections + lm_head; embed/norms bf16) so the engine's qdense
+    path runs unchanged. Scales put effective weight std ≈ 0.02 (the
+    init_params scale) — values only need to be finite, not meaningful.
+    """
+    key = jax.random.PRNGKey(seed)
+    ks = iter(jax.random.split(key, 16))
 
-    return {
-        "embed": {"w": rnd(V, H)},
+    def q8(*shape):
+        q = jax.random.randint(next(ks), shape, -127, 128, jnp.int8)
+        scale = jnp.full(shape[:-2] + (shape[-1],), 0.02 / 73.0, jnp.float32)
+        return {"q8": q, "scale": scale}
+
+    params = {
+        "embed": {"w": jax.random.normal(next(ks), (V, H), jnp.bfloat16)
+                  * 0.02},
         "layers": {
-            "ln1": np.ones((L, H), bf16), "ln2": np.ones((L, H), bf16),
-            "wq": rnd(L, H, NQ * D), "wk": rnd(L, H, NKV * D),
-            "wv": rnd(L, H, NKV * D), "wo": rnd(L, NQ * D, H),
-            "w_gate": rnd(L, H, F), "w_up": rnd(L, H, F),
-            "w_down": rnd(L, F, H),
+            "ln1": jnp.ones((L, H), jnp.bfloat16),
+            "ln2": jnp.ones((L, H), jnp.bfloat16),
+            "wq": q8(L, H, NQ * D), "wk": q8(L, H, NKV * D),
+            "wv": q8(L, H, NKV * D), "wo": q8(L, NQ * D, H),
+            "w_gate": q8(L, H, F), "w_up": q8(L, H, F),
+            "w_down": q8(L, F, H),
         },
-        "final_norm": np.ones((H,), bf16),
-        "lm_head": rnd(H, V, scale=0.16),
+        "final_norm": jnp.ones((H,), jnp.bfloat16),
+        "lm_head": q8(H, V),
     }
+    params["lm_head"]["scale"] = params["lm_head"]["scale"] * 8.0
+    jax.block_until_ready(params)
+    return params

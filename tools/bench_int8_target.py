@@ -1,8 +1,9 @@
-"""int8-TARGET operating point at 4B scale — host-built weights.
+"""int8-TARGET operating point at 4B scale — device-built weights.
 
-Builds the target param tree directly on the host (tools/_probe_common.py),
-quantizes on host, uploads ONLY the int8 tree. Values differ from the bench
-target but round/vanilla-step TIME is weight-value-independent.
+Builds a random int8 target tree directly on device
+(tools/_probe_common.py:device_int8_params_4b — same leaf structure as
+ops/quant.quantize_target_params). Values differ from the bench target but
+round/vanilla-step TIME is weight-value-independent.
 
 Run: python tools/bench_int8_target.py  (real TPU, ~15 min cold)
 Measured 2026-08-17 (PARITY.md): int8 target 4.17 GB, vanilla step
@@ -18,23 +19,17 @@ sys.path.insert(0, os.path.dirname(__file__))
 import numpy as np
 import jax
 
-from _probe_common import (CFG_4B, DCFG_4B, PEAK_BW, V, host_params_4b,
-                           retry, timed)
+from _probe_common import (CFG_4B, DCFG_4B, PEAK_BW, V,
+                           device_int8_params_4b, retry, timed)
 from eagle_tpu.config import EngineConfig
 from eagle_tpu.engine.engine import EagleEngine
 from eagle_tpu.models import draft as draft_mod
-from eagle_tpu.ops.quant import quantize_target_params
 
 t = time.time()
-qhost = quantize_target_params(host_params_4b())
-print(f"host quantize {time.time()-t:.0f}s", file=sys.stderr, flush=True)
-t = time.time()
-qparams = jax.tree.map(jax.numpy.asarray, qhost)
-jax.block_until_ready(qparams)
-del qhost
+qparams = device_int8_params_4b()
 qbytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(qparams))
-print(f"int8 target uploaded {qbytes/1e9:.2f} GB in {time.time()-t:.0f}s",
-      flush=True)
+print(f"int8 target built on device: {qbytes/1e9:.2f} GB in "
+      f"{time.time()-t:.0f}s", flush=True)
 dparams = draft_mod.init_params(DCFG_4B, jax.random.PRNGKey(1))
 dparams["embed"]["w"] = qparams["embed"]["w"]
 

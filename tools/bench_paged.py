@@ -7,7 +7,7 @@ write per round over the dense server. This probe measures that price
 directly: it times the jitted B=8 batched round — dense (kv_limit slice) vs
 paged (gather → round → scatter, block tables fully populated) — at the
 serving-calibrated tree (31/d5) and window 512, on the int8-quantized 4B
-target (host-built weights, tools/_probe_common.py; round TIME is
+target (device-built weights, tools/_probe_common.py; round TIME is
 weight-value-independent). Correctness (bit-exactness vs the dense
 server) is pinned by tests/test_paged_server.py; this is the perf leg.
 
@@ -22,23 +22,21 @@ sys.path.insert(0, os.path.dirname(__file__))
 import numpy as np
 import jax, jax.numpy as jnp
 
-from _probe_common import (CFG_4B, DCFG_4B, D, L, NKV, V, host_params_4b,
-                           retry)
+from _probe_common import (CFG_4B, DCFG_4B, D, L, NKV, V,
+                           device_int8_params_4b, retry)
 from eagle_tpu.config import EngineConfig
 from eagle_tpu.engine.engine import EagleEngine
 from eagle_tpu.engine.paged import PagedEagleServer
 from eagle_tpu.engine.server import EagleServer
 from eagle_tpu.models import draft as draft_mod
-from eagle_tpu.ops.quant import quantize_target_params
 
 B, WINDOW, PAGE = 8, 512, 128
 rng = np.random.default_rng(0)
 
 t = time.time()
-qparams = jax.tree.map(jnp.asarray, quantize_target_params(host_params_4b()))
-jax.block_until_ready(qparams)
-print(f"int8 target uploaded in {time.time()-t:.0f}s", file=sys.stderr,
-      flush=True)
+qparams = device_int8_params_4b()
+print(f"int8 target built on device in {time.time()-t:.0f}s",
+      file=sys.stderr, flush=True)
 dparams = draft_mod.init_params(DCFG_4B, jax.random.PRNGKey(1))
 dparams["embed"]["w"] = qparams["embed"]["w"]
 
