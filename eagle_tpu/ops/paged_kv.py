@@ -10,7 +10,13 @@ sequences grow and recycled when they finish. Capacity then scales with the
 *sum* of live context lengths, not `batch × max_len`.
 
 TPU-native design (vs. vLLM's CUDA paged-attention kernel):
-- The pool is two fixed-shape arrays `[L, n_kv, R, d]` (R = pages × P rows).
+- The pool is two fixed-shape arrays `[L, R, n_kv, d]` (R = pages × P rows).
+  The ROW dimension comes before heads deliberately: a physical row's
+  (n_kv, d) values are then contiguous in the default TPU layout, which is
+  exactly the layout the page gather/scatter want — with the head-major
+  `[L, n_kv, R, d]` order XLA relayouts the ENTIRE pool to row-major and
+  back around every round (~2×pool bytes of pure copies per round; profiled
+  at 6.5 ms/round for a 0.61 GB pool — the whole paged overhead).
   Block tables are tiny int32 `[B, max_pages]` arrays that ride into the
   jitted round as *data* — page churn never recompiles anything.
 - The decode round runs gather → round → scatter: each slot's logical window
@@ -21,9 +27,7 @@ TPU-native design (vs. vLLM's CUDA paged-attention kernel):
   (`path_len` per slot, at logical `[length, length + path_len)`) are
   scattered back. Per-round pool traffic is therefore `read W + write W
   (gather) + write path_len (scatter)`: one extra window *write* over the
-  dense path, the price of page indirection under XLA. A Pallas kernel that
-  reads pages in place would remove it; measured on TPU before that's
-  warranted (see PARITY.md).
+  dense path, the price of page indirection under XLA.
 - Page 0 is reserved as a trash page: inactive slots' block tables point at
   it, so the fixed-shape gather/scatter never needs a branch — reads from it
   are masked by attention (rows ≥ length), writes to it are discarded by
@@ -42,17 +46,17 @@ import jax.numpy as jnp
 
 
 class PagePool(NamedTuple):
-    k: jnp.ndarray  # [L, n_kv, R, d] — R = num_pages * page_size rows
-    v: jnp.ndarray  # [L, n_kv, R, d]
+    k: jnp.ndarray  # [L, R, n_kv, d] — R = num_pages * page_size rows
+    v: jnp.ndarray  # [L, R, n_kv, d]
 
     @property
     def rows(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[1]
 
 
 def init_pool(num_layers: int, num_kv_heads: int, num_pages: int,
               page_size: int, head_dim: int, dtype=jnp.bfloat16) -> PagePool:
-    shape = (num_layers, num_kv_heads, num_pages * page_size, head_dim)
+    shape = (num_layers, num_pages * page_size, num_kv_heads, head_dim)
     return PagePool(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
@@ -67,19 +71,21 @@ def gather_windows(pool: PagePool, block_tables: jnp.ndarray, window: int,
     Returns (k, v): [B, L, 1, n_kv, window, d] — the per-slot dense-cache
     layout the engine round expects under vmap.
     """
-    L, n_kv, R, d = pool.k.shape
+    L, R, n_kv, d = pool.k.shape
     P = page_size
     npg = -(-window // P)
     pages = block_tables[:, :npg]                        # [B, npg]
-    kp = pool.k.reshape(L, n_kv, R // P, P, d)
-    vp = pool.v.reshape(L, n_kv, R // P, P, d)
+    kp = pool.k.reshape(L, R // P, P, n_kv, d)
+    vp = pool.v.reshape(L, R // P, P, n_kv, d)
 
     def one(pages_b):
-        kw = jnp.take(kp, pages_b, axis=2)               # [L, n_kv, npg, P, d]
-        vw = jnp.take(vp, pages_b, axis=2)
-        kw = kw.reshape(L, n_kv, npg * P, d)[:, :, :window]
-        vw = vw.reshape(L, n_kv, npg * P, d)[:, :, :window]
-        return kw[:, None], vw[:, None]                  # [L, 1, n_kv, W, d]
+        kw = jnp.take(kp, pages_b, axis=1)               # [L, npg, P, nkv, d]
+        vw = jnp.take(vp, pages_b, axis=1)
+        kw = kw.reshape(L, npg * P, n_kv, d)[:, :window]
+        vw = vw.reshape(L, npg * P, n_kv, d)[:, :window]
+        # [L, W, nkv, d] -> the dense-cache layout [L, 1, nkv, W, d]
+        return (jnp.transpose(kw, (0, 2, 1, 3))[:, None],
+                jnp.transpose(vw, (0, 2, 1, 3))[:, None])
 
     return jax.vmap(one)(pages)
 
@@ -98,7 +104,7 @@ def scatter_rows(pool: PagePool, block_tables: jnp.ndarray,
     window_k/v: [B, L, 1, n_kv, W, d]; starts: [B] int32.
     """
     B = window_k.shape[0]
-    L, n_kv, _, d = pool.k.shape
+    L, R, n_kv, d = pool.k.shape
     P = page_size
     logical = starts[:, None] + jnp.arange(n_rows, dtype=jnp.int32)  # [B, n]
     phys = (jnp.take_along_axis(block_tables, logical // P, axis=1) * P
@@ -112,12 +118,15 @@ def scatter_rows(pool: PagePool, block_tables: jnp.ndarray,
 
     k_rows = jax.vmap(rows_of)(window_k, logical)        # [B, L, n_kv, n, d]
     v_rows = jax.vmap(rows_of)(window_v, logical)
-    k_rows = jnp.moveaxis(k_rows, 0, 2).reshape(L, n_kv, B * n_rows, d)
-    v_rows = jnp.moveaxis(v_rows, 0, 2).reshape(L, n_kv, B * n_rows, d)
+    # pool row-major: [B, L, nkv, n, d] -> [L, B*n, nkv, d]
+    k_rows = jnp.transpose(k_rows, (1, 0, 3, 2, 4)).reshape(L, B * n_rows,
+                                                            n_kv, d)
+    v_rows = jnp.transpose(v_rows, (1, 0, 3, 2, 4)).reshape(L, B * n_rows,
+                                                            n_kv, d)
     flat = phys.reshape(B * n_rows)
     return PagePool(
-        k=pool.k.at[:, :, flat].set(k_rows.astype(pool.k.dtype)),
-        v=pool.v.at[:, :, flat].set(v_rows.astype(pool.v.dtype)))
+        k=pool.k.at[:, flat].set(k_rows.astype(pool.k.dtype)),
+        v=pool.v.at[:, flat].set(v_rows.astype(pool.v.dtype)))
 
 
 def scatter_prefix(pool: PagePool, pages: jnp.ndarray, cache_k: jnp.ndarray,
@@ -134,6 +143,8 @@ def scatter_prefix(pool: PagePool, pages: jnp.ndarray, cache_k: jnp.ndarray,
     assert Tp % P == 0, (Tp, P)
     phys = (pages[:, None] * P
             + jnp.arange(P, dtype=jnp.int32)[None]).reshape(-1)     # [Tp]
+    k_rows = jnp.transpose(cache_k[:, 0], (0, 2, 1, 3))             # [L,Tp,..]
+    v_rows = jnp.transpose(cache_v[:, 0], (0, 2, 1, 3))
     return PagePool(
-        k=pool.k.at[:, :, phys].set(cache_k[:, 0].astype(pool.k.dtype)),
-        v=pool.v.at[:, :, phys].set(cache_v[:, 0].astype(pool.v.dtype)))
+        k=pool.k.at[:, phys].set(k_rows.astype(pool.k.dtype)),
+        v=pool.v.at[:, phys].set(v_rows.astype(pool.v.dtype)))
