@@ -35,11 +35,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models import transformer
 from ..ops.kv_cache import KVCache
+from ..ops.masks import prefill_mask
 from ..ops.paged_kv import (PagePool, gather_windows, init_pool,
                             scatter_prefix, scatter_rows)
 from ..ops.tree import Tree
-from .engine import EagleEngine, EngineState
+from .engine import EagleEngine, EngineState, _target_feats
+from .prefix_cache import PrefixEntry, PrefixStore
 from .server import EagleServer, _Request, _Slot
 
 
@@ -87,12 +90,16 @@ class PagedEagleServer(EagleServer):
                  groups: int = 1, max_admit_per_step: Optional[int] = None,
                  page_size: int = 128, num_pages: Optional[int] = None,
                  total_tokens: Optional[int] = None,
-                 depth: Optional[int] = None, top_k: Optional[int] = None):
+                 depth: Optional[int] = None, top_k: Optional[int] = None,
+                 prefix_cache: bool = True, prefix_entries: int = 32):
         """`page_size`: KV rows per page; must divide the prompt bucket
         quantum (min(128, max_len)) so prefilled buckets scatter as whole
         pages. `num_pages`: pool capacity (default: enough for every slot at
         full max_len — no memory win, pure paging; size it down to cap HBM:
-        capacity then limits the SUM of live contexts, not each one)."""
+        capacity then limits the SUM of live contexts, not each one).
+        `prefix_cache`: finished requests donate their full KV pages to a
+        prefix store; new prompts starting with a cached prefix adopt those
+        pages instead of re-prefilling them (engine/prefix_cache.py)."""
         super().__init__(engine, max_batch, groups, max_admit_per_step,
                          total_tokens=total_tokens, depth=depth, top_k=top_k)
         eng = self.engine
@@ -116,6 +123,14 @@ class PagedEagleServer(EagleServer):
         self._round_p: Dict = {}    # window size -> jitted paged round
         self._prefill_p: Dict = {}  # prompt bucket -> jitted paged prefill
         self.preemptions = 0
+        # --- automatic prefix caching (engine/prefix_cache.py)
+        self.store = (PrefixStore(page_size, self.allocator.release,
+                                  max_entries=prefix_entries)
+                      if prefix_cache else None)
+        self._borrowed: Dict[Tuple[int, int], int] = {}   # shared page count
+        self._adopted: Dict[Tuple[int, int], PrefixEntry] = {}
+        self._prefill_px: Dict = {}  # (npre, Te) -> jitted prefix prefill
+        self._dslab_jit: Dict = {}   # R -> jitted draft-prefix slab copy
 
     @property
     def pool_bytes(self) -> int:
@@ -156,11 +171,24 @@ class PagedEagleServer(EagleServer):
         pool = scatter_prefix(pool, pages, st.cache.k, st.cache.v, self.P)
         return pool, _strip(st)._replace(tokens=big)
 
+    def _alloc_pages(self, n: int) -> Optional[List[int]]:
+        """Allocate n pages, evicting LRU prefix-cache entries if needed."""
+        got = self.allocator.alloc(n)
+        if got is None and self.store is not None:
+            self.store.evict(n - self.allocator.free_pages)
+            got = self.allocator.alloc(n)
+        return got
+
     def _place(self, req: _Request, g: int, slot_idx: int) -> bool:
+        if self.store is not None:
+            entry = self.store.lookup(req.prompt)
+            if entry is not None and \
+                    self._place_prefix(req, g, slot_idx, entry):
+                return True
         eng = self.engine
         padded, Lp, Tp = self._pad_prompt(req)
         npg = Tp // self.P
-        pages = self.allocator.alloc(npg)
+        pages = self._alloc_pages(npg)
         if pages is None:
             if not any(s.active for grp in self.slots for s in grp):
                 raise RuntimeError(
@@ -187,8 +215,125 @@ class PagedEagleServer(EagleServer):
         return True
 
     # ------------------------------------------------------------------
-    # growth + preemption
+    # automatic prefix caching (engine/prefix_cache.py)
     # ------------------------------------------------------------------
+
+    def _make_prefix_prefill(self, npre: int, Te: int):
+        """Jitted adoption prefill: `npre` shared prefix pages (rows [0, R))
+        are already in the pool; forward only the window [R-1, R-1+Te) —
+        the boundary row R-1 is recomputed because its draft pair's input
+        token differs per continuation (engine/session.py's incremental-
+        prefill trick), but its bit-identical target KV is NOT scattered
+        back, so shared pages stay read-only."""
+        eng, P = self.engine, self.P
+        R = npre * P
+        W = R + Te  # gather window covering every row the forward reads
+
+        def fn(params, dparams, full_tokens, win_tokens, n_new, pool, bt,
+               dk_pre, dv_pre, key, temperature):
+            start = jnp.int32(R - 1)
+            win_k, win_v = gather_windows(pool, bt[None], W, P)
+            cache = KVCache(k=win_k[0], v=win_v[0], length=start[None])
+            pos = (start + jnp.arange(Te, dtype=jnp.int32))[None]
+            mask = prefill_mask(Te, W, cache.length)
+            res = transformer.forward(params, eng.cfg, win_tokens, cache,
+                                      pos, mask)
+            last_logits = transformer.lm_head(params, eng.cfg,
+                                              res.hidden[0, n_new - 1])
+            key, k1, kd = jax.random.split(key, 3)
+            root = eng._pick_token(last_logits, k1, temperature)
+            # suffix rows [R, R-1+Te) land in this slot's own pages
+            pool = scatter_rows(pool, bt[None], res.cache.k[None],
+                                res.cache.v[None], (start + 1)[None],
+                                Te - 1, P, active=jnp.ones((1,), bool))
+            feats = _target_feats(res, eng.dcfg.version)[0]        # [Te, F]
+            ext_tokens = jnp.concatenate(
+                [win_tokens[0, 1:], jnp.zeros((1,), jnp.int32)]
+            ).at[n_new - 1].set(root)
+            dc0 = eng.init_draft_cache()
+            dcache = KVCache(
+                k=jax.lax.dynamic_update_slice(dc0.k, dk_pre,
+                                               (0, 0, 0, 0, 0)),
+                v=jax.lax.dynamic_update_slice(dc0.v, dv_pre,
+                                               (0, 0, 0, 0, 0)),
+                length=start[None])
+            dr = eng._draft_round(dparams, ext_tokens, feats, n_new, dcache,
+                                  key=kd, temperature=temperature)
+            st = PagedSlotState(tokens=full_tokens, length=start + n_new,
+                                dcache=dr.dcache, tree=dr.tree, key=key,
+                                done=jnp.bool_(False),
+                                temperature=temperature)
+            return pool, st
+
+        return jax.jit(fn, donate_argnums=(5,))
+
+    def _place_prefix(self, req: _Request, g: int, slot_idx: int,
+                      entry: PrefixEntry) -> bool:
+        """Admit `req` by adopting a cached prefix. Returns False when it
+        doesn't fit (caller falls back to the full prefill)."""
+        eng, P = self.engine, self.P
+        R = entry.rows
+        npre = R // P
+        m = len(req.prompt) - (R - 1)      # boundary row + appended tokens
+        Te = eng._bucket(m)
+        if R + Te > self._S_tok:
+            return False
+        suffix = self._alloc_pages(Te // P)
+        if suffix is None:
+            return False
+        win = np.zeros((1, Te), np.int32)
+        win[0, :m] = req.prompt[R - 1:]
+        full = np.zeros((1, self._S_tok), np.int32)
+        full[0, :len(req.prompt)] = req.prompt
+        fn = self._prefill_px.get((npre, Te))
+        if fn is None:
+            fn = self._make_prefix_prefill(npre, Te)
+            self._prefill_px[(npre, Te)] = fn
+        chain = entry.all_pages()
+        pages = chain + suffix
+        bt_row = np.zeros((self.pages_per_slot,), np.int32)
+        bt_row[:len(pages)] = pages
+        self._pool, st = fn(
+            eng.params, eng.dparams, jnp.asarray(full), jnp.asarray(win),
+            jnp.int32(m), self._pool, jnp.asarray(bt_row), entry.dk,
+            entry.dv, jax.random.PRNGKey(req.seed),
+            eng._temp(req.temperature))
+        self._pages[(g, slot_idx)] = pages
+        self._borrowed[(g, slot_idx)] = npre
+        self._adopted[(g, slot_idx)] = entry
+        self.store.acquire(entry)
+        self._bt[g][slot_idx, :] = 0
+        self._bt[g][slot_idx, :len(pages)] = pages
+        self._ensure_state(g, st)
+        self._insert(g, slot_idx, st)
+        self._bind_slot(req, g, slot_idx)
+        self.store.hits += 1
+        self.store.reused_tokens += R - 1
+        return True
+
+    def _donate_prefix(self, g: int, slot_idx: int, slot: _Slot,
+                       pages: List[int], borrowed: int,
+                       entry: Optional[PrefixEntry],
+                       own: List[int]) -> List[int]:
+        """On finish, donate the slot's full-page prefix (pages + the draft
+        KV rows they cover) to the store. Returns the pages the slot still
+        owns (to be freed)."""
+        ctx = self.finished[slot.request_id]
+        npre_f = min(len(ctx) // self.P, len(pages))
+        if npre_f <= borrowed or npre_f < 1:
+            return own  # nothing cacheable beyond the adopted prefix
+        R = npre_f * self.P
+        fn = self._dslab_jit.get(R)
+        if fn is None:
+            fn = jax.jit(lambda k, v, i: (jnp.take(k, i, axis=0)[..., :R, :],
+                                          jnp.take(v, i, axis=0)[..., :R, :]))
+            self._dslab_jit[R] = fn
+        dc = self._states[g].dcache
+        dk, dv = fn(dc.k, dc.v, jnp.int32(slot_idx))
+        e = self.store.insert(ctx[:R], pages[borrowed:npre_f], entry, dk, dv)
+        if e is None:
+            return own  # this exact prefix is already cached
+        return pages[npre_f:]  # store took ownership of [borrowed, npre_f)
 
     def _grow(self, g: int):
         """Ensure every active slot's pages cover this round's scatter-back
@@ -203,7 +348,7 @@ class PagedEagleServer(EagleServer):
                        self.pages_per_slot)
             pages = self._pages[(g, i)]
             while len(pages) < need:
-                got = self.allocator.alloc(need - len(pages))
+                got = self._alloc_pages(need - len(pages))
                 if got is not None:
                     self._bt[g][i, len(pages):need] = got
                     pages.extend(got)
@@ -274,8 +419,18 @@ class PagedEagleServer(EagleServer):
         return r
 
     def _release_slot(self, g: int, slot_idx: int):
+        slot = self.slots[g][slot_idx]
         pages = self._pages.pop((g, slot_idx), None)
+        borrowed = self._borrowed.pop((g, slot_idx), 0)
+        entry = self._adopted.pop((g, slot_idx), None)
         if pages:
-            self.allocator.release(pages)
+            own = pages[borrowed:]  # shared prefix pages belong to the store
+            if (self.store is not None and slot.active
+                    and slot.request_id in self.finished):
+                own = self._donate_prefix(g, slot_idx, slot, pages,
+                                          borrowed, entry, own)
+            self.allocator.release(own)
+        if entry is not None:
+            self.store.release(entry)
         self._bt[g][slot_idx, :] = 0
         super()._release_slot(g, slot_idx)

@@ -117,6 +117,20 @@ def main():
                for p, r in ((p0, r0), (p1, r1))), "paged != dense outputs"
     print(f"   pool {psrv.pool_bytes / 1e6:.1f} MB, outputs bit-identical "
           "to the dense server")
+
+    print("\n== automatic prefix caching (shared system prompt)")
+    stem = corpus[1, :32]  # two full 16-row pages of shared prefix
+    q1 = np.concatenate([stem, corpus[0, :3]])
+    q2 = np.concatenate([stem, corpus[2, :2]])
+    ref2 = eng.generate(q2, max_new_tokens=10)
+    c1 = psrv.submit(q1, 10)
+    psrv.run()
+    c2 = psrv.submit(q2, 10)
+    got = psrv.run()[c2]
+    assert psrv.store.hits >= 1, "prefix not adopted"
+    assert np.array_equal(got, ref2), "prefix-cached output differs"
+    print(f"   request 2 adopted {psrv.store.reused_tokens} cached prefix "
+          "tokens; output bit-identical to from-scratch")
     print("\nAll demo stages OK.")
 
 

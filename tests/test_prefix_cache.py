@@ -1,0 +1,143 @@
+"""Automatic prefix caching in the paged server: adopting a finished
+request's KV pages must be invisible in the output — greedy results stay
+bit-identical to single-request `generate` (== generate_vanilla) — while
+measurably skipping prefill work (store hits / reused tokens) and
+surviving eviction under pool pressure."""
+
+import numpy as np
+import pytest
+
+from eagle_tpu.engine.paged import PagedEagleServer
+from eagle_tpu.engine.prefix_cache import PrefixStore
+
+from test_engine_greedy import make_engine
+
+SYS = np.arange(1, 49, dtype=np.int32) % 90 + 1        # 48-token shared stem
+REQ_A = np.concatenate([SYS, np.array([7, 3, 9], np.int32)])
+REQ_B = np.concatenate([SYS, np.array([11, 5], np.int32)])
+
+
+def test_store_lookup_insert_evict():
+    freed = []
+    st = PrefixStore(4, freed.extend, max_entries=2)
+    toks = np.arange(16, dtype=np.int32)
+    e1 = st.insert(toks[:8], [3, 4], None, "dk1", "dv1")
+    assert st.insert(toks[:8], [9, 9], None, "x", "x") is None  # duplicate
+    e2 = st.insert(toks[:12], [5], e1, "dk2", "dv2")
+    assert e2.parent is e1 and e1.borrowers == 1
+    # deepest match wins; diverging token kills the match
+    assert st.lookup(toks) is e2
+    assert st.lookup(toks[:11]) is e1
+    other = toks.copy()
+    other[2] = 77
+    assert st.lookup(other) is None
+    # e1 has a child borrower -> only e2 is evictable this pass; evicting
+    # e2 releases the parent hold, leaving e1 alive (still a usable prefix)
+    st.evict(10)
+    assert sorted(freed) == [5]
+    assert len(st) == 1 and st.lookup(toks[:8]) is e1
+    st.evict(10)  # now e1 is borrower-less and goes too
+    assert sorted(freed) == [3, 4, 5]
+    assert len(st) == 0
+
+
+def test_prefix_adoption_bit_exact():
+    """Second request sharing a 48-token stem adopts the first's pages;
+    outputs match single-request generation exactly."""
+    eng = make_engine(1)
+    singles = [eng.generate(p, max_new_tokens=12) for p in (REQ_A, REQ_B)]
+    srv = PagedEagleServer(eng, max_batch=2, page_size=16)
+    ra = srv.submit(REQ_A, 12)
+    srv.run()
+    assert len(srv.store) == 1          # finished request donated its pages
+    rb = srv.submit(REQ_B, 12)
+    outs = srv.run()
+    assert srv.store.hits == 1
+    assert srv.store.reused_tokens > 0
+    np.testing.assert_array_equal(srv.finished[ra], singles[0])
+    np.testing.assert_array_equal(outs[rb], singles[1])
+
+
+def test_prefix_chain_multiturn_bit_exact():
+    """Multi-turn through the server: each turn's prompt extends the last
+    turn's full output, adopting ever-deeper cached prefixes (entry
+    chains)."""
+    eng = make_engine(3)
+    srv = PagedEagleServer(eng, max_batch=2, page_size=16)
+    r1 = srv.submit(REQ_A, 14)
+    out1 = srv.run()[r1]
+    p2 = np.concatenate([out1, np.array([2, 8], np.int32)])
+    r2 = srv.submit(p2, 14)
+    out2 = srv.run()[r2]
+    assert srv.store.hits >= 1
+    np.testing.assert_array_equal(out2, eng.generate(p2, max_new_tokens=14))
+    p3 = np.concatenate([out2, np.array([4], np.int32)])
+    r3 = srv.submit(p3, 10)
+    out3 = srv.run()[r3]
+    assert srv.store.hits >= 2
+    np.testing.assert_array_equal(out3, eng.generate(p3, max_new_tokens=10))
+
+
+def test_prefix_adoption_mixed_batch():
+    """Adopters and fresh prompts in the same running batch stay
+    bit-exact."""
+    eng = make_engine(1)
+    fresh = np.array([60, 61, 62, 63, 64], np.int32)
+    singles = {0: eng.generate(REQ_A, max_new_tokens=10),
+               1: eng.generate(REQ_B, max_new_tokens=10),
+               2: eng.generate(fresh, max_new_tokens=10)}
+    srv = PagedEagleServer(eng, max_batch=3, page_size=16)
+    ra = srv.submit(REQ_A, 10)
+    srv.run()
+    rb = srv.submit(REQ_B, 10)
+    rf = srv.submit(fresh, 10)
+    outs = srv.run()
+    np.testing.assert_array_equal(srv.finished[ra], singles[0])
+    np.testing.assert_array_equal(outs[rb], singles[1])
+    np.testing.assert_array_equal(outs[rf], singles[2])
+
+
+def test_prefix_eviction_under_pool_pressure():
+    """A tight pool evicts cached prefixes (instead of failing admission)
+    and still serves everything correctly."""
+    eng = make_engine(1)
+    # pages_per_slot pages per active request; leave barely 1.5 slots' room
+    srv = PagedEagleServer(eng, max_batch=2, page_size=16, num_pages=21,
+                           prefix_entries=8)
+    prompts = [REQ_A, REQ_B,
+               np.concatenate([SYS, np.array([17], np.int32)]),
+               np.array([91, 92, 93, 94], np.int32)]
+    budgets = [10, 12, 9, 11]
+    singles = [eng.generate(p, max_new_tokens=b)
+               for p, b in zip(prompts, budgets)]
+    rids = [srv.submit(p, b) for p, b in zip(prompts, budgets)]
+    outs = srv.run()
+    for rid, ref in zip(rids, singles):
+        np.testing.assert_array_equal(outs[rid], ref)
+
+
+def test_prefix_cache_off():
+    eng = make_engine(1)
+    srv = PagedEagleServer(eng, max_batch=2, page_size=16,
+                           prefix_cache=False)
+    assert srv.store is None
+    ra = srv.submit(REQ_A, 10)
+    srv.run()
+    rb = srv.submit(REQ_B, 10)
+    outs = srv.run()
+    np.testing.assert_array_equal(outs[rb],
+                                  eng.generate(REQ_B, max_new_tokens=10))
+
+
+def test_prefix_adoption_sampled_mode():
+    """Sampled engines: adoption runs end-to-end; prefix tokens are
+    preserved verbatim and generation proceeds past the prompt."""
+    eng = make_engine(1, temperature=1.0)
+    srv = PagedEagleServer(eng, max_batch=2, page_size=16)
+    ra = srv.submit(REQ_A, 10, seed=1)
+    srv.run()
+    rb = srv.submit(REQ_B, 10, seed=2)
+    out = srv.run()[rb]
+    assert srv.store.hits == 1
+    np.testing.assert_array_equal(out[: len(REQ_B)], REQ_B)
+    assert len(out) > len(REQ_B)

@@ -130,3 +130,71 @@ print(f"paged  B={B} round: {paged_ms:.2f} ms "
       f"moves {gather_gb:.2f} GB/round)", flush=True)
 print(f"pool = {srv_p.pool_bytes / 1e9:.2f} GB for {B} slots; dense KV = "
       f"{2 * 2 * B * L * NKV * eng._tgt_len() * D / 1e9:.2f} GB", flush=True)
+del paged, srv_p
+
+# ---- prefix-cache admission A/B: full prefill of a ~1000-token prompt vs
+# adopting its cached 896-row prefix (suffix window only)
+srv3 = PagedEagleServer(eng, max_batch=2, page_size=PAGE)
+base = rng.integers(0, V, size=1000).astype(np.int32)
+srv3.submit(base, 4)
+retry(srv3.run)
+adopt = np.concatenate([base, rng.integers(0, V, size=8).astype(np.int32)])
+entry = srv3.store.lookup(adopt)
+npre = entry.rows // PAGE
+m = len(adopt) - (entry.rows - 1)
+Te = eng._bucket(m)
+rid2 = srv3.submit(adopt, 4)
+retry(srv3.run)  # warm/compile both adoption + full-prefill programs
+entry = srv3.store.lookup(adopt)
+
+Tp = eng._bucket(len(adopt))
+f_full = srv3._prefill_p[Tp]
+f_px = srv3._prefill_px[(npre, Te)]
+padded = np.zeros((1, Tp), np.int32); padded[0, :len(adopt)] = adopt
+win = np.zeros((1, Te), np.int32); win[0, :m] = adopt[entry.rows - 1:]
+full_buf = np.zeros((1, srv3._S_tok), np.int32)
+full_buf[0, :len(adopt)] = adopt
+scratch_pages = jnp.arange(1, Tp // PAGE + 1, dtype=jnp.int32)
+bt_row = np.zeros((srv3.pages_per_slot,), np.int32)
+bt_row[:npre] = entry.all_pages()
+bt_row[npre:npre + Te // PAGE] = range(npre + 1, npre + 1 + Te // PAGE)
+
+
+class FullAdmit:
+    def __init__(self, pool):
+        self.pool = pool  # donated + rethreaded; do NOT reuse elsewhere
+
+    def __call__(self):
+        self.pool, self.st = f_full(
+            eng.params, eng.dparams, jnp.asarray(padded),
+            jnp.int32(len(adopt)), eng.init_target_cache(rows=Tp),
+            eng.init_draft_cache(), jax.random.PRNGKey(0), eng._temp(None),
+            self.pool, scratch_pages)
+
+    def block(self):
+        jax.block_until_ready(self.st.length)
+
+
+class PrefixAdmit:
+    def __init__(self, pool):
+        self.pool = pool
+
+    def __call__(self):
+        self.pool, self.st = f_px(
+            eng.params, eng.dparams, jnp.asarray(full_buf),
+            jnp.asarray(win), jnp.int32(m), self.pool,
+            jnp.asarray(bt_row), entry.dk, entry.dv,
+            jax.random.PRNGKey(0), eng._temp(None))
+
+    def block(self):
+        jax.block_until_ready(self.st.length)
+
+
+fa = FullAdmit(srv3._pool)
+full_ms = retry(lambda: slope_ms(fa, k_lo=4, k_hi=12))
+pa = PrefixAdmit(fa.pool)  # the live (rethreaded) pool after donation
+px_ms = retry(lambda: slope_ms(pa, k_lo=4, k_hi=12))
+print(f"admission: full prefill ({len(adopt)} tokens) {full_ms:.2f} ms vs "
+      f"prefix adoption (reuse {entry.rows - 1} rows, forward {Te}) "
+      f"{px_ms:.2f} ms -> {full_ms / px_ms:.2f}x faster time-to-first-token",
+      flush=True)
