@@ -29,14 +29,17 @@ beyond that only changes how many requests run concurrently.
 
 from __future__ import annotations
 
+import collections
+from dataclasses import dataclass, field
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models import draft as draft_mod
 from ..models import transformer
-from ..ops.kv_cache import KVCache
+from ..ops.kv_cache import KVCache, with_length
 from ..ops.masks import prefill_mask
 from ..ops.paged_kv import (PagePool, gather_windows, init_pool,
                             scatter_prefix, scatter_rows)
@@ -61,6 +64,20 @@ def _strip(st: EngineState) -> PagedSlotState:
     return PagedSlotState(tokens=st.tokens, length=st.length,
                           dcache=st.dcache, tree=st.tree, key=st.key,
                           done=st.done, temperature=st.temperature)
+
+
+@dataclass
+class _PrefillJob:
+    """A chunked prefill in flight: the prompt's KV rows land in the pool
+    one fixed-size chunk per scheduler step, so a long prompt never stalls
+    running decode rounds for more than one chunk forward (vLLM's chunked
+    prefill, TPU-native: every chunk is the same compiled program)."""
+    req: _Request
+    dcache: KVCache                  # dense per-job draft KV, grown chunkwise
+    pages: List[int] = field(default_factory=list)
+    bt: np.ndarray = None            # [pages_per_slot] block-table row
+    rows_done: int = 0               # prompt rows already in the pool
+    state: Optional[PagedSlotState] = None  # set by the final chunk
 
 
 class PageAllocator:
@@ -91,7 +108,8 @@ class PagedEagleServer(EagleServer):
                  page_size: int = 128, num_pages: Optional[int] = None,
                  total_tokens: Optional[int] = None,
                  depth: Optional[int] = None, top_k: Optional[int] = None,
-                 prefix_cache: bool = True, prefix_entries: int = 32):
+                 prefix_cache: bool = True, prefix_entries: int = 32,
+                 prefill_chunk: Optional[int] = None):
         """`page_size`: KV rows per page; must divide the prompt bucket
         quantum (min(128, max_len)) so prefilled buckets scatter as whole
         pages. `num_pages`: pool capacity (default: enough for every slot at
@@ -99,7 +117,14 @@ class PagedEagleServer(EagleServer):
         capacity then limits the SUM of live contexts, not each one).
         `prefix_cache`: finished requests donate their full KV pages to a
         prefix store; new prompts starting with a cached prefix adopt those
-        pages instead of re-prefilling them (engine/prefix_cache.py)."""
+        pages instead of re-prefilling them (engine/prefix_cache.py).
+        `prefill_chunk`: rows per chunked-prefill step (multiple of
+        page_size). Prompts longer than this prefill one chunk per scheduler
+        step instead of in one dispatch, so running decode rounds stall at
+        most one chunk forward per step when a long prompt joins (vLLM's
+        chunked prefill). Greedy outputs are unchanged — chunked prefill is
+        repeated incremental prefill, the engine/session.py `_extend`
+        contract."""
         super().__init__(engine, max_batch, groups, max_admit_per_step,
                          total_tokens=total_tokens, depth=depth, top_k=top_k)
         eng = self.engine
@@ -131,6 +156,18 @@ class PagedEagleServer(EagleServer):
         self._adopted: Dict[Tuple[int, int], PrefixEntry] = {}
         self._prefill_px: Dict = {}  # (npre, Te) -> jitted prefix prefill
         self._dslab_jit: Dict = {}   # R -> jitted draft-prefix slab copy
+        # --- chunked prefill
+        if prefill_chunk is not None and prefill_chunk % page_size != 0:
+            raise ValueError(
+                f"prefill_chunk {prefill_chunk} must be a multiple of "
+                f"page_size {page_size}")
+        self.C = prefill_chunk
+        self._job: Optional[_PrefillJob] = None     # at most one chunking
+        self._ready: collections.deque = collections.deque()  # await a slot
+        self._chunk_jit: Dict = {}   # (C, W)  -> jitted intermediate chunk
+        self._chunkf_jit: Dict = {}  # (Cf, W) -> jitted final chunk
+        self.chunked_prefills = 0   # requests admitted via chunking
+        self.cancelled_prefills = 0  # jobs abandoned under pool pressure
 
     @property
     def pool_bytes(self) -> int:
@@ -185,6 +222,10 @@ class PagedEagleServer(EagleServer):
             if entry is not None and \
                     self._place_prefix(req, g, slot_idx, entry):
                 return True
+        if self.C is not None and len(req.prompt) > self.C:
+            return False  # long prompts go through the chunker (one at a
+            # time: the head waits for the in-flight job, keeping admission
+            # in arrival order)
         eng = self.engine
         padded, Lp, Tp = self._pad_prompt(req)
         npg = Tp // self.P
@@ -213,6 +254,199 @@ class PagedEagleServer(EagleServer):
         self._insert(g, slot_idx, st)
         self._bind_slot(req, g, slot_idx)
         return True
+
+    # ------------------------------------------------------------------
+    # chunked prefill
+    # ------------------------------------------------------------------
+
+    def _wbucket(self, n: int) -> int:
+        """Gather-window bucket for chunk forwards: multiples of 2·C bound
+        the program count to ~max_len/(2C) while keeping window reads within
+        2 chunks of the live rows."""
+        q = 2 * self.C
+        return min(-(-n // q) * q, self._S_tok)
+
+    def _make_chunk(self, C: int, W: int):
+        """Jitted intermediate chunk: target-forward rows [R, R+C) of the
+        prompt against the pool window [0, W), scatter their KV back, and
+        extend the job's draft cache with the chunk's (feature, next-token)
+        pairs — the whole prompt is known, so every pair's next token is
+        available without sampling. No tree is built (that's the final
+        chunk's job)."""
+        eng, P = self.engine, self.P
+
+        def fn(params, dparams, win_tokens, next_tokens, R, pool, bt,
+               dcache):
+            win_k, win_v = gather_windows(pool, bt[None], W, P)
+            cache = KVCache(k=win_k[0], v=win_v[0], length=R[None])
+            pos = (R + jnp.arange(C, dtype=jnp.int32))[None]
+            mask = prefill_mask(C, W, cache.length)
+            res = transformer.forward(params, eng.cfg, win_tokens, cache,
+                                      pos, mask)
+            pool = scatter_rows(pool, bt[None], res.cache.k[None],
+                                res.cache.v[None], R[None], C, P,
+                                active=jnp.ones((1,), bool))
+            feats = _target_feats(res, eng.dcfg.version)       # [1, C, F]
+            dmask = prefill_mask(C, dcache.max_len, dcache.length)
+            dres = draft_mod.forward(dparams, eng.dcfg, next_tokens[None],
+                                     feats, dcache, pos, dmask)
+            return pool, with_length(dres.cache, (R + C)[None])
+
+        return jax.jit(fn, donate_argnums=(5, 7))
+
+    def _make_chunk_final(self, Cf: int, W: int):
+        """Jitted final chunk: forward the last `m` prompt rows (padded to
+        Cf), sample the root token from row m-1's logits, and build the
+        first draft tree — the tail of `EagleEngine._prefill`, against pool
+        pages. The PRNG stream (split 3: root, draft) matches `_prefill`'s,
+        so sampled outputs are bit-identical to unchunked admission too."""
+        eng, P = self.engine, self.P
+
+        def fn(params, dparams, full_tokens, win_tokens, next_tokens, m, R,
+               pool, bt, dcache, key, temperature):
+            win_k, win_v = gather_windows(pool, bt[None], W, P)
+            cache = KVCache(k=win_k[0], v=win_v[0], length=R[None])
+            pos = (R + jnp.arange(Cf, dtype=jnp.int32))[None]
+            mask = prefill_mask(Cf, W, cache.length)
+            res = transformer.forward(params, eng.cfg, win_tokens, cache,
+                                      pos, mask)
+            last_logits = transformer.lm_head(params, eng.cfg,
+                                              res.hidden[0, m - 1])
+            key, k1, kd = jax.random.split(key, 3)
+            root = eng._pick_token(last_logits, k1, temperature)
+            pool = scatter_rows(pool, bt[None], res.cache.k[None],
+                                res.cache.v[None], R[None], Cf, P,
+                                active=jnp.ones((1,), bool))
+            feats = _target_feats(res, eng.dcfg.version)[0]    # [Cf, F]
+            ext_tokens = next_tokens.at[m - 1].set(root)
+            dr = eng._draft_round(dparams, ext_tokens, feats, m, dcache,
+                                  key=kd, temperature=temperature)
+            st = PagedSlotState(tokens=full_tokens, length=R + m,
+                                dcache=dr.dcache, tree=dr.tree, key=key,
+                                done=jnp.bool_(False),
+                                temperature=temperature)
+            return pool, st
+
+        return jax.jit(fn, donate_argnums=(7, 9))
+
+    def _start_job(self, req: _Request):
+        self._job = _PrefillJob(
+            req=req, dcache=self.engine.init_draft_cache(),
+            bt=np.zeros((self.pages_per_slot,), np.int32))
+        self.chunked_prefills += 1
+
+    def _install_job(self, job: _PrefillJob, g: int, slot_idx: int):
+        self._pages[(g, slot_idx)] = job.pages
+        self._bt[g][slot_idx, :] = 0
+        self._bt[g][slot_idx, :len(job.pages)] = job.pages
+        self._ensure_state(g, job.state)
+        self._insert(g, slot_idx, job.state)
+        self._bind_slot(job.req, g, slot_idx)
+
+    def _advance_prefill(self):
+        """One chunked-prefill step: place any finished job waiting for a
+        slot, then dispatch ONE chunk of the in-flight job (so chunk
+        forwards interleave 1:1 with decode rounds)."""
+        while self._ready:
+            pos = self._pick_free_slot(len(self._ready[0].req.prompt))
+            if pos is None:
+                break
+            self._install_job(self._ready.popleft(), *pos)
+        job = self._job
+        if job is None:
+            return
+        eng, P, C = self.engine, self.P, self.C
+        prompt = job.req.prompt
+        Lp, R = len(prompt), job.rows_done
+        final = (Lp - R) <= C
+        rows_end = min(R + (eng._bucket(Lp - R) if final else C),
+                       self._S_tok)
+        need = -(-rows_end // P)
+        if len(job.pages) < need:
+            got = self._alloc_pages(need - len(job.pages))
+            if got is None:
+                if not any(s.active for grp in self.slots for s in grp) \
+                        and not self._ready:
+                    raise RuntimeError(
+                        "page pool exhausted mid-chunked-prefill with no "
+                        "running requests to drain — size num_pages for at "
+                        "least one full-length request")
+                return  # wait for running requests to free pages
+            job.bt[len(job.pages):need] = got
+            job.pages.extend(got)
+        bt = jnp.asarray(job.bt)
+        if not final:
+            W = self._wbucket(R + C)
+            fn = self._chunk_jit.get((C, W))
+            if fn is None:
+                fn = self._make_chunk(C, W)
+                self._chunk_jit[(C, W)] = fn
+            self._pool, job.dcache = fn(
+                eng.params, eng.dparams, jnp.asarray(prompt[R:R + C][None]),
+                jnp.asarray(prompt[R + 1:R + C + 1]), jnp.int32(R),
+                self._pool, bt, job.dcache)
+            job.rows_done = R + C
+            return
+        m = Lp - R
+        Cf = rows_end - R
+        W = self._wbucket(rows_end)
+        fn = self._chunkf_jit.get((Cf, W))
+        if fn is None:
+            fn = self._make_chunk_final(Cf, W)
+            self._chunkf_jit[(Cf, W)] = fn
+        win = np.zeros((1, Cf), np.int32)
+        win[0, :m] = prompt[R:]
+        nxt = np.zeros((Cf,), np.int32)
+        nxt[:m - 1] = prompt[R + 1:]
+        full = np.zeros((1, self._S_tok), np.int32)
+        full[0, :Lp] = prompt
+        self._pool, job.state = fn(
+            eng.params, eng.dparams, jnp.asarray(full), jnp.asarray(win),
+            jnp.asarray(nxt), jnp.int32(m), jnp.int32(R), self._pool, bt,
+            job.dcache, jax.random.PRNGKey(job.req.seed),
+            eng._temp(job.req.temperature))
+        self._job = None
+        pos = self._pick_free_slot(Lp)
+        if pos is not None:
+            self._install_job(job, *pos)
+        else:
+            self._ready.append(job)
+
+    def _cancel_one_job(self) -> bool:
+        """Abandon a chunked prefill under pool pressure — running requests
+        outrank waiting prefills (vLLM's preemption order). Pages return to
+        the pool; the request goes back to the queue head. Chunked prefill
+        replays the same PRNG stream, so a cancelled-and-restarted request
+        still produces identical output."""
+        if self._job is not None:
+            job, self._job = self._job, None
+        elif self._ready:
+            job = self._ready.pop()   # newest first: least total sunk cost
+        else:
+            return False
+        self.allocator.release(job.pages)
+        self.queue.appendleft(job.req)
+        self.chunked_prefills -= 1
+        self.cancelled_prefills += 1
+        return True
+
+    def _admit(self):
+        self._advance_prefill()
+        # start chunking the queue head if it's long, even with no free slot
+        # (that's the point: its prefill overlaps running decode) — unless a
+        # cached prefix covers it, in which case adoption is cheaper still
+        if (self.C is not None and self.queue and self._job is None
+                and not self._ready):
+            req = self.queue[0]
+            hit = (self.store.lookup(req.prompt)
+                   if self.store is not None else None)
+            if len(req.prompt) > self.C and hit is None:
+                self._start_job(req)
+                self.queue.popleft()
+        super()._admit()
+
+    def _idle(self) -> bool:
+        return (super()._idle() and self._job is None and not self._ready)
 
     # ------------------------------------------------------------------
     # automatic prefix caching (engine/prefix_cache.py)
@@ -353,6 +587,8 @@ class PagedEagleServer(EagleServer):
                     self._bt[g][i, len(pages):need] = got
                     pages.extend(got)
                     break
+                if self._cancel_one_job():
+                    continue
                 if not self._preempt_one(protect=(g, i)):
                     raise RuntimeError(
                         "page pool exhausted: a single request needs more "

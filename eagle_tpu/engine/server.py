@@ -195,38 +195,44 @@ class EagleServer:
         need = max(live) + eng.ecfg.tree_size + eng._tail
         return next((b for b in buckets if need <= b), buckets[-1])
 
-    def _admit(self):
-        """Place queued requests into free slots, preferring the group whose
-        current bucket already covers the request's prompt (so short
-        requests don't land next to long-context ones), capped at
-        max_admit_per_step prefill dispatches."""
+    def _pick_free_slot(self, prompt_rows: int) -> Optional[tuple]:
+        """Free slot for a request holding `prompt_rows` context, preferring
+        the group whose current bucket already covers it (so short requests
+        don't land next to long-context ones). None when every slot is
+        occupied."""
         eng = self.engine
+        free = [(g, i) for g in range(self.G)
+                for i, s in enumerate(self.slots[g]) if not s.active]
+        if not free:
+            return None
         buckets = eng._kv_buckets()
+        if buckets is not None:
+            need = prompt_rows + eng.ecfg.tree_size + eng._tail
+            req_bucket = next((b for b in buckets if need <= b), buckets[-1])
+
+            def fit(gi):
+                g, _ = gi
+                gb = self._group_bucket(g)
+                occupied = sum(s.active for s in self.slots[g])
+                # empty/drained groups are unconstrained (distance 0) —
+                # a long request must prefer them over de-bucketing an
+                # active short group; among equal fits pack the fullest
+                dist = 0 if gb is None else abs(gb - req_bucket)
+                return (dist, -occupied)
+
+            free.sort(key=fit)
+        return free[0]
+
+    def _admit(self):
+        """Place queued requests into free slots, capped at
+        max_admit_per_step prefill dispatches."""
         admitted = 0
         while self.queue and admitted < self.max_admit:
             req = self.queue[0]
-            free = [(g, i) for g in range(self.G)
-                    for i, s in enumerate(self.slots[g]) if not s.active]
-            if not free:
+            pos = self._pick_free_slot(len(req.prompt))
+            if pos is None:
                 break
-            if buckets is not None:
-                need = (len(req.prompt) + eng.ecfg.tree_size + eng._tail)
-                req_bucket = next((b for b in buckets if need <= b),
-                                  buckets[-1])
-
-                def fit(gi):
-                    g, _ = gi
-                    gb = self._group_bucket(g)
-                    occupied = sum(s.active for s in self.slots[g])
-                    # empty/drained groups are unconstrained (distance 0) —
-                    # a long request must prefer them over de-bucketing an
-                    # active short group; among equal fits pack the fullest
-                    dist = 0 if gb is None else abs(gb - req_bucket)
-                    return (dist, -occupied)
-
-                free.sort(key=fit)
-            g, i = free[0]
-            if not self._place(req, g, i):
+            if not self._place(req, *pos):
                 break  # backend can't take it now (e.g. paged pool full)
             self.queue.popleft()
             admitted += 1
@@ -322,11 +328,15 @@ class EagleServer:
         self.slots[g][slot_idx] = _Slot()
         self._mark_done(g, slot_idx)
 
+    def _idle(self) -> bool:
+        """Nothing queued, running, or (in subclasses) mid-prefill."""
+        return not self.queue and not any(
+            s.active for grp in self.slots for s in grp)
+
     def run(self, max_steps: int = 100000) -> Dict[int, np.ndarray]:
         """Drive until queue + slots drain; return all finished outputs."""
         for _ in range(max_steps):
-            if not self.queue and not any(
-                    s.active for grp in self.slots for s in grp):
+            if self._idle():
                 break
             self.step()
         return dict(self.finished)
