@@ -109,7 +109,8 @@ class PagedEagleServer(EagleServer):
                  total_tokens: Optional[int] = None,
                  depth: Optional[int] = None, top_k: Optional[int] = None,
                  prefix_cache: bool = True, prefix_entries: int = 32,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 async_schedule: bool = False):
         """`page_size`: KV rows per page; must divide the prompt bucket
         quantum (min(128, max_len)) so prefilled buckets scatter as whole
         pages. `num_pages`: pool capacity (default: enough for every slot at
@@ -126,7 +127,8 @@ class PagedEagleServer(EagleServer):
         repeated incremental prefill, the engine/session.py `_extend`
         contract."""
         super().__init__(engine, max_batch, groups, max_admit_per_step,
-                         total_tokens=total_tokens, depth=depth, top_k=top_k)
+                         total_tokens=total_tokens, depth=depth, top_k=top_k,
+                         async_schedule=async_schedule)
         eng = self.engine
         quantum = min(128, eng.ecfg.max_len)
         if quantum % page_size != 0:
@@ -577,7 +579,10 @@ class PagedEagleServer(EagleServer):
         for i, slot in enumerate(self.slots[g]):
             if not slot.active:
                 continue
-            committed = slot.prompt_len + slot.emitted
+            # async scheduling: host `committed` lags the in-flight round
+            # by up to one commit window (self._lag), and the next round's
+            # scatter lands up to path_len rows past the true length
+            committed = slot.prompt_len + slot.emitted + self._lag
             need = min(-(-(committed + eng.path_len) // self.P),
                        self.pages_per_slot)
             pages = self._pages[(g, i)]

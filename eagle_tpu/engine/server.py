@@ -55,6 +55,10 @@ class _Slot:
     seed: int = 0
     temperature: Optional[float] = None
     admit_seq: int = -1
+    # unique per (request, slot) binding — async scheduling matches a
+    # drained round's results to the binding that was live at dispatch
+    # time, so a slot rebound mid-flight never credits stale tokens
+    bind_id: int = -1
 
 
 @dataclass
@@ -73,7 +77,8 @@ class EagleServer:
     def __init__(self, engine: EagleEngine, max_batch: int = 4,
                  groups: int = 1, max_admit_per_step: Optional[int] = None,
                  total_tokens: Optional[int] = None,
-                 depth: Optional[int] = None, top_k: Optional[int] = None):
+                 depth: Optional[int] = None, top_k: Optional[int] = None,
+                 async_schedule: bool = False):
         """`total_tokens`/`depth`/`top_k` re-point the engine at a
         serving-calibrated speculation tree (a params-sharing sibling via
         `EagleEngine.with_tree`). The batched round is verify-compute-bound
@@ -82,7 +87,19 @@ class EagleServer:
         `calibrate_total_tokens(params, cfg, batch=max_batch)`, or pass
         total_tokens=-1 to run that calibration here (the from_pretrained
         total_token=-1 convention, at serving batch size). Outputs are
-        unchanged (greedy == generate_vanilla at any tree size)."""
+        unchanged (greedy == generate_vanilla at any tree size).
+
+        `async_schedule`: one-step-lookahead scheduling (vLLM's async
+        scheduler). Each step dispatches this round BEFORE draining the
+        previous round's results, so the device executes while the host
+        blocks on the transfer + runs token processing/admission — the
+        host-sync bubble between rounds disappears. Costs: results surface
+        one step later, a finishing request's slot runs one wasted round
+        before refill, and KV buckets/pages are sized one commit window
+        (`engine.path_len`) pessimistically because host bookkeeping lags
+        the in-flight round. Outputs are bit-identical to sync scheduling
+        (per-slot rounds are independent; stale results are dropped by
+        bind_id)."""
         assert max_batch % groups == 0, (max_batch, groups)
         if total_tokens == -1:
             from .engine import calibrate_total_tokens
@@ -105,6 +122,12 @@ class EagleServer:
         self._round_b: Dict = {}  # kv_limit -> jitted vmapped round (Bg)
         self.max_admit = max_admit_per_step or max_batch
         self._admit_seq = 0  # admission order, for paged preemption
+        self.async_schedule = async_schedule
+        # bucket/page sizing margin: host bookkeeping lags the in-flight
+        # round by at most one commit window under async scheduling
+        self._lag = engine.path_len if async_schedule else 0
+        self._inflight: List[tuple] = []  # [(g, RoundOutput, bind snapshot)]
+        self._bind_seq = 0
 
     # ------------------------------------------------------------------
 
@@ -192,7 +215,7 @@ class EagleServer:
         live = [s.prompt_len + s.emitted for s in self.slots[g] if s.active]
         if not live:
             return None
-        need = max(live) + eng.ecfg.tree_size + eng._tail
+        need = max(live) + self._lag + eng.ecfg.tree_size + eng._tail
         return next((b for b in buckets if need <= b), buckets[-1])
 
     def _pick_free_slot(self, prompt_rows: int) -> Optional[tuple]:
@@ -207,7 +230,7 @@ class EagleServer:
             return None
         buckets = eng._kv_buckets()
         if buckets is not None:
-            need = prompt_rows + eng.ecfg.tree_size + eng._tail
+            need = prompt_rows + self._lag + eng.ecfg.tree_size + eng._tail
             req_bucket = next((b for b in buckets if need <= b), buckets[-1])
 
             def fit(gi):
@@ -258,31 +281,36 @@ class EagleServer:
             active=True, request_id=req.request_id,
             prompt_len=len(req.prompt), max_new=req.max_new,
             seed=req.seed, temperature=req.temperature,
-            admit_seq=req.admit_seq)
+            admit_seq=req.admit_seq, bind_id=self._bind_seq)
+        self._bind_seq += 1
 
-    def step(self) -> Dict[int, np.ndarray]:
-        """One scheduler iteration: admit queued requests into free slots,
-        run one vmapped round per live group, drain per-slot outputs.
-        Returns {request_id: np tokens emitted this step}."""
-        eng = self.engine
-        self._admit()
-
-        emitted: Dict[int, np.ndarray] = {}
-        results = []
-        # dispatch every group's round first (async), then drain — the
-        # device pipelines the group dispatches back to back
+    def _dispatch_all(self) -> List[tuple]:
+        """Dispatch one vmapped round per live group (async — the device
+        pipelines the group dispatches back to back). Each entry carries the
+        dispatch-time bind snapshot so the drain can drop stale results."""
+        out = []
         for g in range(self.G):
             if self._states[g] is None or \
                     not any(s.active for s in self.slots[g]):
                 continue
-            results.append((g, self._dispatch_round(g)))
+            snap = [s.bind_id if s.active else -1 for s in self.slots[g]]
+            out.append((g, self._dispatch_round(g), snap))
+        return out
 
-        for g, r in results:
+    def _process_results(self, results,
+                         emitted: Dict[int, np.ndarray]) -> None:
+        """Drain round results (blocks on the device), append accepted
+        tokens per slot, flag EOS/length/capacity finishes, release
+        finished slots. Results whose slot was rebound or released since
+        dispatch (async mode: preemption, refill) are dropped — their
+        tokens belong to a binding that no longer exists."""
+        eng = self.engine
+        for g, r, snap in results:
             alens = np.asarray(r.accept_len)
             toks = np.asarray(r.new_tokens)
             rdone = np.asarray(r.done)
             for i, slot in enumerate(self.slots[g]):
-                if not slot.active:
+                if not slot.active or slot.bind_id != snap[i]:
                     continue
                 new = []
                 for t in toks[i, : alens[i] + 1]:
@@ -304,6 +332,25 @@ class EagleServer:
                     self.finished[slot.request_id] = np.asarray(
                         self.outputs.pop(slot.request_id), np.int32)
                     self._release_slot(g, i)
+
+    def step(self) -> Dict[int, np.ndarray]:
+        """One scheduler iteration. Sync mode: admit queued requests into
+        free slots, run one vmapped round per live group, drain per-slot
+        outputs. Async mode: dispatch this step's rounds FIRST, then drain
+        the previous step's (the device computes while the host blocks),
+        then admit — results surface one step later. Returns
+        {request_id: np tokens emitted this step}."""
+        emitted: Dict[int, np.ndarray] = {}
+        if not self.async_schedule:
+            self._admit()
+            self._process_results(self._dispatch_all(), emitted)
+            return emitted
+        if not any(s.active for grp in self.slots for s in grp):
+            self._admit()  # bootstrap / restart from fully drained
+        pending = self._dispatch_all()
+        self._process_results(self._inflight, emitted)
+        self._inflight = pending
+        self._admit()
         return emitted
 
     def _dispatch_round(self, g: int):
@@ -329,9 +376,10 @@ class EagleServer:
         self._mark_done(g, slot_idx)
 
     def _idle(self) -> bool:
-        """Nothing queued, running, or (in subclasses) mid-prefill."""
-        return not self.queue and not any(
-            s.active for grp in self.slots for s in grp)
+        """Nothing queued, running, in-flight, or (in subclasses)
+        mid-prefill."""
+        return (not self.queue and not self._inflight and not any(
+            s.active for grp in self.slots for s in grp))
 
     def run(self, max_steps: int = 100000) -> Dict[int, np.ndarray]:
         """Drive until queue + slots drain; return all finished outputs."""
