@@ -1,0 +1,483 @@
+"""OpenAI-compatible serving API over the continuous-batching servers.
+
+The reference ships only a single-user gradio chat (webui.py); a production
+deployment needs a concurrent HTTP API. This module bridges the
+EagleServer/PagedEagleServer scheduler to OpenAI's /v1/completions and
+/v1/chat/completions (JSON + SSE streaming), so standard OpenAI clients
+work unmodified:
+
+- One background scheduler thread owns the server(s) and drives `step()`;
+  HTTP threads only enqueue submissions/cancellations and block on
+  per-request event queues — the JAX device is never touched from two
+  threads.
+- Requests batch continuously: concurrent clients share decode rounds
+  (weight streaming amortized), joins ride admission (+ chunked prefill /
+  prefix caching when the paged server has them enabled).
+- Greedy-vs-sampled is a static program structure (engine.py:_pick_token),
+  so temperature==0 requests route to a greedy sibling server and
+  temperature>0 to a sampled one (params shared; each server has its own
+  slots/KV, built lazily on first use so an unused mode costs nothing).
+- `stop` sequences are enforced frontend-side on the incrementally decoded
+  text; a hit cancels the request in the server (EagleServer.cancel) and
+  truncates before the stop string, matching OpenAI semantics. Client
+  disconnects mid-stream cancel the same way — an abandoned stream stops
+  occupying a slot.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from .webui import TEMPLATES
+
+
+@dataclass
+class _Live:
+    """Frontend bookkeeping for one in-flight request."""
+    rid: int
+    mode: bool                      # False=greedy server, True=sampled
+    events: "queue.Queue" = field(default_factory=queue.Queue)
+    prompt_len: int = 0
+    max_tokens: int = 0
+    ids: List[int] = field(default_factory=list)   # completion ids so far
+    sent: int = 0                   # chars of decoded text already emitted
+    stop: List[str] = field(default_factory=list)
+    done: bool = False
+
+
+class APIFrontend:
+    """Owns the scheduler thread and the per-mode servers."""
+
+    def __init__(self, engine, encode: Callable, decode: Callable,
+                 model_id: str = "eagle-tpu",
+                 model_type: str = "llama3",
+                 eos_token_id: Optional[int] = None,
+                 paged: bool = True, **server_kw):
+        """`server_kw` passes through to the server constructor
+        (max_batch, page_size, async_schedule, prefill_chunk, ...)."""
+        self.engine = engine
+        self.encode = encode
+        self.decode = decode
+        self.model_id = model_id
+        self.template = TEMPLATES.get(model_type, TEMPLATES["vicuna"])
+        # EOS stopping happens inside the server, so the engine must carry
+        # eos_token_id at construction; `eos_token_id` here only controls
+        # frontend-side filtering of the EOS id from decoded text
+        self.eos_token_id = (eos_token_id if eos_token_id is not None
+                             else engine.eos_token_id)
+        self.paged = paged
+        self.server_kw = server_kw
+        self._servers: Dict[bool, object] = {}   # sampled? -> server
+        self._live: Dict[tuple, _Live] = {}      # (sampled?, rid) -> _Live
+        self._ops: List[Callable] = []
+        self._cv = threading.Condition()
+        self._shutdown = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    # scheduler thread (sole owner of the servers / device)
+    # ------------------------------------------------------------------
+
+    def _server_for(self, sampled: bool):
+        srv = self._servers.get(sampled)
+        if srv is None:
+            # construct the engine with eos_token_id — siblings inherit it
+            eng = self.engine.with_sampling(sampled)
+            if self.paged:
+                from ..engine.paged import PagedEagleServer
+                srv = PagedEagleServer(eng, **self.server_kw)
+            else:
+                from ..engine.server import EagleServer
+                srv = EagleServer(eng, **self.server_kw)
+            self._servers[sampled] = srv
+        return srv
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while (not self._shutdown and not self._ops
+                       and all(s._idle() for s in self._servers.values())):
+                    self._cv.wait(0.05)
+                if self._shutdown:
+                    return
+                ops, self._ops = self._ops, []
+            for op in ops:
+                op()
+            for sampled, srv in list(self._servers.items()):
+                if srv._idle():
+                    continue
+                emitted = srv.step()
+                for rid, toks in emitted.items():
+                    self._on_tokens(sampled, srv, rid, toks)
+                for rid in [r for (m, r) in self._live
+                            if m == sampled and r in srv.finished]:
+                    self._on_finished(sampled, srv, rid)
+
+    def _post(self, op: Callable):
+        with self._cv:
+            self._ops.append(op)
+            self._cv.notify()
+
+    # ---- token routing (scheduler thread)
+
+    def _emit_delta(self, lv: _Live, final: bool):
+        """Incremental detokenization: decode the full completion, emit the
+        unseen suffix. A trailing U+FFFD is withheld until the next chunk
+        (mid-multibyte token boundary) unless this is the final emit."""
+        text = self.decode(lv.ids)
+        for s in lv.stop:                      # stop-string enforcement
+            i = text.find(s)
+            if i >= 0:
+                delta = text[lv.sent:i]
+                lv.sent = i
+                lv.done = True
+                if delta:
+                    lv.events.put(("delta", delta))
+                lv.events.put(("done", "stop", text[:i]))
+                return True
+        cut = len(text)
+        if not final and text.endswith("�"):
+            cut -= 1
+        if lv.stop and not final:
+            # hold back a potential stop-string prefix at the tail so a
+            # stop that lands across two chunks is never partially emitted
+            holdback = max(len(s) for s in lv.stop) - 1
+            cut = min(cut, len(text) - holdback)
+        if cut > lv.sent:
+            lv.events.put(("delta", text[lv.sent:cut]))
+            lv.sent = cut
+        return False
+
+    def _on_tokens(self, sampled: bool, srv, rid: int, toks: np.ndarray):
+        lv = self._live.get((sampled, rid))
+        if lv is None or lv.done:
+            return
+        lv.ids.extend(int(t) for t in toks
+                      if self.eos_token_id is None
+                      or t != self.eos_token_id)
+        if self._emit_delta(lv, final=False):
+            srv.cancel(rid)
+            self._live.pop((sampled, rid), None)
+
+    def _on_finished(self, sampled: bool, srv, rid: int):
+        lv = self._live.pop((sampled, rid), None)
+        srv.finished.pop(rid, None)
+        reason = srv.finish_reasons.pop(rid, "length")
+        if lv is None or lv.done:
+            return
+        self._emit_delta(lv, final=True)
+        if not lv.done:
+            fr = "stop" if reason == "eos" else "length"
+            lv.events.put(("done", fr, self.decode(lv.ids)))
+
+    # ------------------------------------------------------------------
+    # HTTP-thread API
+    # ------------------------------------------------------------------
+
+    def submit(self, prompt_ids: np.ndarray, max_tokens: int,
+               temperature: float, seed: int,
+               stop: List[str]) -> _Live:
+        """Thread-safe: enqueues the submission for the scheduler thread.
+        Validation errors (e.g. a prompt the pool can never hold) surface
+        as an ('error', msg) event."""
+        sampled = temperature > 0
+        lv = _Live(rid=-1, mode=sampled, prompt_len=len(prompt_ids),
+                   max_tokens=max_tokens, stop=list(stop))
+        done = threading.Event()
+
+        def op():
+            try:
+                srv = self._server_for(sampled)
+                lv.rid = srv.submit(
+                    prompt_ids, max_new_tokens=max_tokens, seed=seed,
+                    temperature=temperature if sampled else None)
+                self._live[(sampled, lv.rid)] = lv
+            except Exception as e:  # sizing/validation errors
+                lv.events.put(("error", str(e)))
+            finally:
+                done.set()
+
+        self._post(op)
+        done.wait()
+        return lv
+
+    def cancel(self, lv: _Live):
+        """Client went away: free the slot (no-op if already finished)."""
+        def op():
+            if self._live.pop((lv.mode, lv.rid), None) is not None:
+                self._servers[lv.mode].cancel(lv.rid)
+        self._post(op)
+
+    def shutdown(self):
+        with self._cv:
+            self._shutdown = True
+            self._cv.notify()
+        self._thread.join(timeout=5)
+
+
+# ---------------------------------------------------------------------------
+# OpenAI wire format
+# ---------------------------------------------------------------------------
+
+def _now() -> int:
+    return int(time.time())
+
+
+def _usage(lv: _Live) -> dict:
+    return {"prompt_tokens": lv.prompt_len,
+            "completion_tokens": len(lv.ids),
+            "total_tokens": lv.prompt_len + len(lv.ids)}
+
+
+class _BadRequest(ValueError):
+    pass
+
+
+def _parse_common(body: dict):
+    max_tokens = body.get("max_tokens", body.get("max_completion_tokens"))
+    if max_tokens is None:
+        max_tokens = 512
+    if not isinstance(max_tokens, int) or max_tokens < 1:
+        raise _BadRequest("max_tokens must be a positive integer")
+    temperature = body.get("temperature", 1.0)
+    if temperature is None:
+        temperature = 1.0
+    if not isinstance(temperature, (int, float)) or temperature < 0:
+        raise _BadRequest("temperature must be a number >= 0")
+    if body.get("n", 1) != 1:
+        raise _BadRequest("n > 1 is not supported")
+    if body.get("logprobs"):
+        raise _BadRequest("logprobs is not supported")
+    stop = body.get("stop") or []
+    if isinstance(stop, str):
+        stop = [stop]
+    if not (isinstance(stop, list)
+            and all(isinstance(s, str) for s in stop)):
+        raise _BadRequest("stop must be a string or list of strings")
+    seed = body.get("seed", 0)
+    if not isinstance(seed, int):
+        raise _BadRequest("seed must be an integer")
+    return max_tokens, float(temperature), stop, seed, bool(
+        body.get("stream", False))
+
+
+def make_api_handler(frontend: APIFrontend):
+    fe = frontend
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *a):
+            pass
+
+        # ---- plumbing
+        def _json(self, code: int, obj: dict):
+            payload = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def _err(self, code: int, msg: str, etype: str = "invalid_request_error"):
+            self._json(code, {"error": {"message": msg, "type": etype}})
+
+        def _sse_start(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            self.close_connection = True  # stream has no Content-Length
+
+        def _sse(self, obj):
+            data = obj if isinstance(obj, str) else json.dumps(obj)
+            self.wfile.write(f"data: {data}\n\n".encode())
+            self.wfile.flush()
+
+        # ---- routes
+        def do_GET(self):
+            if self.path == "/v1/models":
+                self._json(200, {"object": "list", "data": [
+                    {"id": fe.model_id, "object": "model",
+                     "created": _now(), "owned_by": "eagle-tpu"}]})
+            elif self.path in ("/health", "/healthz"):
+                self._json(200, {"status": "ok"})
+            else:
+                self._err(404, f"unknown path {self.path}")
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(length) or "{}")
+                if not isinstance(body, dict):
+                    raise _BadRequest("body must be a JSON object")
+                if self.path == "/v1/completions":
+                    self._completions(body, chat=False)
+                elif self.path == "/v1/chat/completions":
+                    self._completions(body, chat=True)
+                else:
+                    self._err(404, f"unknown path {self.path}")
+            except (_BadRequest, json.JSONDecodeError) as e:
+                self._err(400, str(e))
+
+        def _completions(self, body: dict, chat: bool):
+            max_tokens, temperature, stop, seed, stream = \
+                _parse_common(body)
+            if chat:
+                messages = body.get("messages")
+                if not isinstance(messages, list) or not messages:
+                    raise _BadRequest("messages must be a non-empty list")
+                prompt = fe.template(messages)
+                ids = np.asarray(fe.encode(prompt), np.int32)
+            else:
+                prompt = body.get("prompt")
+                if isinstance(prompt, str):
+                    ids = np.asarray(fe.encode(prompt), np.int32)
+                elif (isinstance(prompt, list)
+                        and all(isinstance(t, int) for t in prompt)):
+                    ids = np.asarray(prompt, np.int32)
+                else:
+                    raise _BadRequest(
+                        "prompt must be a string or a token-id list")
+            lv = fe.submit(ids, max_tokens, temperature, seed, stop)
+            oid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:24]
+            if stream:
+                self._stream_response(lv, oid, chat)
+            else:
+                self._block_response(lv, oid, chat)
+
+        def _block_response(self, lv: _Live, oid: str, chat: bool):
+            text, reason = "", "length"
+            while True:
+                kind, *rest = lv.events.get()
+                if kind == "error":
+                    self._err(400, rest[0])
+                    return
+                if kind == "delta":
+                    continue
+                if kind == "done":
+                    reason, text = rest[0], rest[1]
+                    break
+            choice = ({"index": 0, "message":
+                       {"role": "assistant", "content": text},
+                       "finish_reason": reason} if chat else
+                      {"index": 0, "text": text, "finish_reason": reason})
+            self._json(200, {
+                "id": oid,
+                "object": "chat.completion" if chat else "text_completion",
+                "created": _now(), "model": fe.model_id,
+                "choices": [choice], "usage": _usage(lv)})
+
+        def _stream_response(self, lv: _Live, oid: str, chat: bool):
+            obj = "chat.completion.chunk" if chat else "text_completion"
+
+            def chunk(delta_text, reason):
+                if chat:
+                    delta = {} if delta_text is None else \
+                        {"content": delta_text}
+                    ch = {"index": 0, "delta": delta,
+                          "finish_reason": reason}
+                else:
+                    ch = {"index": 0, "text": delta_text or "",
+                          "finish_reason": reason}
+                return {"id": oid, "object": obj, "created": _now(),
+                        "model": fe.model_id, "choices": [ch]}
+
+            started = False
+            try:
+                while True:
+                    kind, *rest = lv.events.get()
+                    if kind == "error":
+                        if started:
+                            break
+                        self._err(400, rest[0])
+                        return
+                    if not started:
+                        self._sse_start()
+                        if chat:   # OpenAI sends the role first
+                            first = chunk(None, None)
+                            first["choices"][0]["delta"] = {
+                                "role": "assistant"}
+                            self._sse(first)
+                        started = True
+                    if kind == "delta":
+                        self._sse(chunk(rest[0], None))
+                    elif kind == "done":
+                        self._sse(chunk(None, rest[0]))
+                        self._sse("[DONE]")
+                        break
+            except (BrokenPipeError, ConnectionResetError):
+                fe.cancel(lv)   # abandoned stream frees its slot
+
+    return Handler
+
+
+def serve(frontend: APIFrontend, host: str = "127.0.0.1",
+          port: int = 8000) -> ThreadingHTTPServer:
+    srv = ThreadingHTTPServer((host, port), make_api_handler(frontend))
+    print(f"EAGLE-TPU OpenAI API: http://{host}:{srv.server_address[1]}/v1")
+    return srv
+
+
+def main():  # pragma: no cover - requires real checkpoints
+    import argparse
+
+    from ..config import EngineConfig
+    from ..engine.engine import EagleEngine
+    from ..models.hf_loader import load_draft, load_target
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base-model-path", required=True)
+    ap.add_argument("--ea-model-path", required=True)
+    ap.add_argument("--model-type", default="llama3",
+                    choices=list(TEMPLATES))
+    ap.add_argument("--use-eagle3", action="store_true")
+    ap.add_argument("--total-token", type=int, default=-1)
+    ap.add_argument("--depth", type=int, default=5)
+    ap.add_argument("--top-k", type=int, default=10)
+    ap.add_argument("--max-len", type=int, default=2048)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--page-size", type=int, default=128)
+    ap.add_argument("--prefill-chunk", type=int, default=256)
+    ap.add_argument("--async-schedule", type=int, default=1)
+    ap.add_argument("--port", type=int, default=8000)
+    args = ap.parse_args()
+
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(args.base_model_path)
+    params, cfg = load_target(args.base_model_path)
+    dparams, dcfg = load_draft(args.ea_model_path,
+                               version=3 if args.use_eagle3 else 1,
+                               target_embed=params["embed"]["w"])
+    # total_token=-1 means serving-batch calibration, which happens in the
+    # server (EagleServer total_tokens=-1); the engine needs a concrete tree
+    ecfg = EngineConfig(
+        total_tokens=60 if args.total_token == -1 else args.total_token,
+        depth=args.depth, top_k=args.top_k, max_len=args.max_len)
+    engine = EagleEngine(params, cfg, dparams, dcfg, ecfg,
+                         eos_token_id=tok.eos_token_id)
+    fe = APIFrontend(
+        engine,
+        encode=lambda s: tok(s, return_tensors="np").input_ids[0],
+        decode=lambda ids: tok.decode(ids, skip_special_tokens=True),
+        model_id=args.base_model_path.rstrip("/").rsplit("/", 1)[-1],
+        model_type=args.model_type, max_batch=args.max_batch,
+        page_size=args.page_size, prefill_chunk=args.prefill_chunk,
+        async_schedule=args.async_schedule, total_tokens=args.total_token)
+    serve(fe, port=args.port).serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

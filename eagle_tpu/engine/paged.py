@@ -450,6 +450,25 @@ class PagedEagleServer(EagleServer):
     def _idle(self) -> bool:
         return (super()._idle() and self._job is None and not self._ready)
 
+    def cancel(self, request_id: int) -> bool:
+        """Also covers a request mid-chunked-prefill (job or slot-wait)."""
+        job = None
+        if self._job is not None and \
+                self._job.req.request_id == request_id:
+            job, self._job = self._job, None
+        else:
+            for k, j in enumerate(self._ready):
+                if j.req.request_id == request_id:
+                    job = j
+                    del self._ready[k]
+                    break
+        if job is not None:
+            self.allocator.release(job.pages)
+            self.outputs.pop(request_id, None)
+            self.chunked_prefills -= 1
+            return True
+        return super().cancel(request_id)
+
     # ------------------------------------------------------------------
     # automatic prefix caching (engine/prefix_cache.py)
     # ------------------------------------------------------------------

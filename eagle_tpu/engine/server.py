@@ -78,7 +78,7 @@ class EagleServer:
                  groups: int = 1, max_admit_per_step: Optional[int] = None,
                  total_tokens: Optional[int] = None,
                  depth: Optional[int] = None, top_k: Optional[int] = None,
-                 async_schedule: bool = False):
+                 async_schedule: int = 0):
         """`total_tokens`/`depth`/`top_k` re-point the engine at a
         serving-calibrated speculation tree (a params-sharing sibling via
         `EagleEngine.with_tree`). The batched round is verify-compute-bound
@@ -89,15 +89,18 @@ class EagleServer:
         total_token=-1 convention, at serving batch size). Outputs are
         unchanged (greedy == generate_vanilla at any tree size).
 
-        `async_schedule`: one-step-lookahead scheduling (vLLM's async
-        scheduler). Each step dispatches this round BEFORE draining the
-        previous round's results, so the device executes while the host
-        blocks on the transfer + runs token processing/admission — the
-        host-sync bubble between rounds disappears. Costs: results surface
-        one step later, a finishing request's slot runs one wasted round
-        before refill, and KV buckets/pages are sized one commit window
+        `async_schedule`: lookahead depth for async scheduling (vLLM's
+        async scheduler; 0/False = sync, True = 1). Each step dispatches
+        this round BEFORE draining results, and only drains rounds more
+        than `async_schedule` steps old — the device stays `async_schedule`
+        rounds ahead of the host, hiding the drain transfer + token
+        processing/admission behind device compute. Depth 1 suffices when
+        the host is colocated; deeper hides a high-latency link (remote
+        TPU) at the cost of results surfacing that many steps later, a
+        finishing request's slot running that many wasted rounds before
+        refill, and KV buckets/pages sized `depth` commit windows
         (`engine.path_len`) pessimistically because host bookkeeping lags
-        the in-flight round. Outputs are bit-identical to sync scheduling
+        the in-flight rounds. Outputs are bit-identical to sync scheduling
         (per-slot rounds are independent; stale results are dropped by
         bind_id)."""
         assert max_batch % groups == 0, (max_batch, groups)
@@ -117,16 +120,17 @@ class EagleServer:
         self.queue: collections.deque = collections.deque()
         self.outputs: Dict[int, list] = {}
         self.finished: Dict[int, np.ndarray] = {}
+        self.finish_reasons: Dict[int, str] = {}  # eos | length | capacity
         self._next_id = 0
         self._states: List[Optional[EngineState]] = [None] * groups
         self._round_b: Dict = {}  # kv_limit -> jitted vmapped round (Bg)
         self.max_admit = max_admit_per_step or max_batch
         self._admit_seq = 0  # admission order, for paged preemption
-        self.async_schedule = async_schedule
+        self.async_schedule = int(async_schedule)
         # bucket/page sizing margin: host bookkeeping lags the in-flight
-        # round by at most one commit window under async scheduling
-        self._lag = engine.path_len if async_schedule else 0
-        self._inflight: List[tuple] = []  # [(g, RoundOutput, bind snapshot)]
+        # rounds by at most `depth` commit windows under async scheduling
+        self._lag = engine.path_len * self.async_schedule
+        self._inflight: List[list] = []  # steps of [(g, out, bind snap)]
         self._bind_seq = 0
 
     # ------------------------------------------------------------------
@@ -331,6 +335,7 @@ class EagleServer:
                 if slot.done_reason is not None:
                     self.finished[slot.request_id] = np.asarray(
                         self.outputs.pop(slot.request_id), np.int32)
+                    self.finish_reasons[slot.request_id] = slot.done_reason
                     self._release_slot(g, i)
 
     def step(self) -> Dict[int, np.ndarray]:
@@ -348,8 +353,13 @@ class EagleServer:
         if not any(s.active for grp in self.slots for s in grp):
             self._admit()  # bootstrap / restart from fully drained
         pending = self._dispatch_all()
-        self._process_results(self._inflight, emitted)
-        self._inflight = pending
+        if pending:
+            self._inflight.append(pending)
+        # hold `depth` steps in flight; when the batch went quiet (nothing
+        # dispatched) drain everything so run() terminates
+        target = self.async_schedule if pending else 0
+        while len(self._inflight) > target:
+            self._process_results(self._inflight.pop(0), emitted)
         self._admit()
         return emitted
 
@@ -374,6 +384,25 @@ class EagleServer:
         """Free slot bookkeeping after its request finished."""
         self.slots[g][slot_idx] = _Slot()
         self._mark_done(g, slot_idx)
+
+    def cancel(self, request_id: int) -> bool:
+        """Abort a queued or running request (client disconnect, upstream
+        stop-string hit). Frees its slot/pages; discards its pending
+        output. In-flight async results for the freed binding are dropped
+        by the bind_id check. Returns False if the request is unknown or
+        already finished (its output stays in `finished`)."""
+        for k, req in enumerate(self.queue):
+            if req.request_id == request_id:
+                del self.queue[k]
+                self.outputs.pop(request_id, None)
+                return True
+        for g in range(self.G):
+            for i, s in enumerate(self.slots[g]):
+                if s.active and s.request_id == request_id:
+                    self.outputs.pop(request_id, None)
+                    self._release_slot(g, i)
+                    return True
+        return False
 
     def _idle(self) -> bool:
         """Nothing queued, running, in-flight, or (in subclasses)

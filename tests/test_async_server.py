@@ -21,15 +21,20 @@ PROMPTS = [
 ]
 
 
-def test_async_staggered_bit_exact():
+import pytest
+
+
+@pytest.mark.parametrize("depth", [1, 4])
+def test_async_staggered_bit_exact(depth):
     """4 requests through 2 slots with mid-flight joins: async scheduling
     reproduces single-request greedy outputs exactly (slot refills after a
-    finish run one wasted round whose results must be dropped)."""
+    finish run up to `depth` wasted rounds whose results must be
+    dropped)."""
     eng = make_engine(1)
     budgets = [18, 25, 11, 21]
     singles = [eng.generate(p, max_new_tokens=b)
                for p, b in zip(PROMPTS, budgets)]
-    srv = EagleServer(eng, max_batch=2, async_schedule=True)
+    srv = EagleServer(eng, max_batch=2, async_schedule=depth)
     r0 = srv.submit(PROMPTS[0], budgets[0])
     r1 = srv.submit(PROMPTS[1], budgets[1])
     srv.step()
@@ -77,7 +82,7 @@ def test_async_matches_sync_with_buckets_and_groups():
     sync = EagleServer(eng, max_batch=4, groups=2)
     rs = [sync.submit(p, b) for p, b in zip(PROMPTS, budgets)]
     ref = sync.run()
-    asy = EagleServer(eng, max_batch=4, groups=2, async_schedule=True)
+    asy = EagleServer(eng, max_batch=4, groups=2, async_schedule=2)
     ra = [asy.submit(p, b) for p, b in zip(PROMPTS, budgets)]
     got = asy.run()
     for s, a in zip(rs, ra):

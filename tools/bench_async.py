@@ -49,10 +49,9 @@ eng = EagleEngine(qparams, CFG_4B, dparams, DCFG_4B, ecfg)
 prompts = [rng.integers(0, V, size=96).astype(np.int32) for _ in range(48)]
 
 
-def run_mode(async_schedule):
+def run_mode(depth):
     srv = PagedEagleServer(eng, max_batch=B, page_size=PAGE,
-                           prefix_cache=False,
-                           async_schedule=async_schedule)
+                           prefix_cache=False, async_schedule=depth)
     # finite budgets so finishes + refills happen during the measurement
     # (the wasted-round refill price is part of async's steady state)
     for i, p in enumerate(prompts):
@@ -70,14 +69,18 @@ def run_mode(async_schedule):
         len(v) for v in srv.outputs.values())
     med = float(np.median(times))
     tps = (tok1 - tok0) / sum(times)
-    label = "async" if async_schedule else "sync "
+    label = f"async depth {depth}" if depth else "sync         "
     print(f"{label}: median step {1e3*med:7.2f} ms | aggregate "
           f"{tps:7.1f} tok/s over {STEPS} steps", flush=True)
     return med, tps
 
 
-med_s, tps_s = retry(lambda: run_mode(False))
-med_a, tps_a = retry(lambda: run_mode(True))
-print(f"async scheduling: step {1e3*med_s:.2f} -> {1e3*med_a:.2f} ms "
-      f"({med_s/med_a:.2f}x), serving throughput {tps_s:.0f} -> "
-      f"{tps_a:.0f} tok/s ({tps_a/tps_s:.2f}x)", flush=True)
+med_s, tps_s = retry(lambda: run_mode(0))
+best = (med_s, tps_s, 0)
+for d in (1, 2, 4, 6):
+    med_a, tps_a = retry(lambda: run_mode(d))
+    if tps_a > best[1]:
+        best = (med_a, tps_a, d)
+print(f"async scheduling (best depth {best[2]}): step {1e3*med_s:.2f} -> "
+      f"{1e3*best[0]:.2f} ms, serving throughput {tps_s:.0f} -> "
+      f"{best[1]:.0f} tok/s ({best[1]/tps_s:.2f}x)", flush=True)
