@@ -52,6 +52,12 @@ class _Live:
     sent: int = 0                   # chars of decoded text already emitted
     stop: List[str] = field(default_factory=list)
     done: bool = False
+    # incremental detokenization: text_prefix is the frozen decode of
+    # ids[:t_off]; only ids[t_off:] is re-decoded per step (see
+    # _emit_delta — folds are verified against a full decode, so the
+    # streamed concatenation always equals decode(ids))
+    text_prefix: str = ""
+    t_off: int = 0
 
 
 class APIFrontend:
@@ -116,12 +122,28 @@ class APIFrontend:
             for sampled, srv in list(self._servers.items()):
                 if srv._idle():
                     continue
-                emitted = srv.step()
-                for rid, toks in emitted.items():
-                    self._on_tokens(sampled, srv, rid, toks)
-                for rid in [r for (m, r) in self._live
-                            if m == sampled and r in srv.finished]:
-                    self._on_finished(sampled, srv, rid)
+                try:
+                    emitted = srv.step()
+                    for rid, toks in emitted.items():
+                        self._on_tokens(sampled, srv, rid, toks)
+                    for rid in [r for (m, r) in self._live
+                                if m == sampled and r in srv.finished]:
+                        self._on_finished(sampled, srv, rid)
+                except Exception as e:  # noqa: BLE001 — the scheduler
+                    # thread must survive ANY per-server failure: if it
+                    # died, every client blocked on lv.events would hang
+                    # forever while /health kept reporting ok
+                    self._fail_server(sampled, e)
+
+    def _fail_server(self, sampled: bool, exc: Exception):
+        """A server aborted mid-step (pool sizing error, device fault).
+        Fail its live requests with an error event and drop the instance —
+        a fresh server (same engine/params) is built lazily on next use;
+        the broken one's pool/slot state is unrecoverable mid-flight."""
+        self._servers.pop(sampled, None)
+        msg = f"internal scheduler error: {exc!r}"
+        for key in [k for k in self._live if k[0] == sampled]:
+            self._live.pop(key).events.put(("error", msg, 500))
 
     def _post(self, op: Callable):
         with self._cv:
@@ -130,11 +152,36 @@ class APIFrontend:
 
     # ---- token routing (scheduler thread)
 
+    # fold the decoded prefix once the un-folded tail exceeds this many
+    # tokens (or earlier at a newline boundary) — bounds per-step decode
+    # work to O(tail), not O(completion length), on the scheduler thread
+    _FOLD_AT_NL = 64
+    _FOLD_FORCE = 512
+
+    def _text(self, lv: _Live) -> str:
+        """Decoded completion so far, re-decoding only the tail past the
+        last fold point. Folding is only committed when the piecewise text
+        matches a full decode exactly (tokenizers can merge text across a
+        token boundary — sentencepiece leading-space rules — so an
+        unverified fold could diverge from decode(ids)); the verify decode
+        runs once per fold attempt, keeping total work ~O(n²/FOLD) instead
+        of O(n²). Newline boundaries are preferred (HF TextStreamer's
+        flush rule) because no tokenizer joins across them."""
+        tail_n = len(lv.ids) - lv.t_off
+        tail = self.decode(lv.ids[lv.t_off:]) if tail_n else ""
+        text = lv.text_prefix + tail
+        if (tail_n >= self._FOLD_FORCE
+                or (tail_n >= self._FOLD_AT_NL and tail.endswith("\n"))):
+            if self.decode(lv.ids) == text:
+                lv.text_prefix, lv.t_off = text, len(lv.ids)
+        return text
+
     def _emit_delta(self, lv: _Live, final: bool):
-        """Incremental detokenization: decode the full completion, emit the
-        unseen suffix. A trailing U+FFFD is withheld until the next chunk
-        (mid-multibyte token boundary) unless this is the final emit."""
-        text = self.decode(lv.ids)
+        """Incremental detokenization: decode the completion (tail-only
+        past the fold point), emit the unseen suffix. A trailing U+FFFD is
+        withheld until the next chunk (mid-multibyte token boundary)
+        unless this is the final emit."""
+        text = self._text(lv)
         for s in lv.stop:                      # stop-string enforcement
             i = text.find(s)
             if i >= 0:
@@ -166,7 +213,13 @@ class APIFrontend:
                       if self.eos_token_id is None
                       or t != self.eos_token_id)
         if self._emit_delta(lv, final=False):
-            srv.cancel(rid)
+            if not srv.cancel(rid):
+                # already finished server-side this same step (e.g. the
+                # stop string arrived in the request's final chunk): the
+                # finished-scan below won't visit it once it leaves _live,
+                # so reap its result entries here or they leak forever
+                srv.finished.pop(rid, None)
+                srv.finish_reasons.pop(rid, None)
             self._live.pop((sampled, rid), None)
 
     def _on_finished(self, sampled: bool, srv, rid: int):
@@ -178,7 +231,9 @@ class APIFrontend:
         self._emit_delta(lv, final=True)
         if not lv.done:
             fr = "stop" if reason == "eos" else "length"
-            lv.events.put(("done", fr, self.decode(lv.ids)))
+            # piecewise text, same source as the streamed deltas — the
+            # final payload must equal their concatenation exactly
+            lv.events.put(("done", fr, self._text(lv)))
 
     # ------------------------------------------------------------------
     # HTTP-thread API
@@ -212,10 +267,15 @@ class APIFrontend:
         return lv
 
     def cancel(self, lv: _Live):
-        """Client went away: free the slot (no-op if already finished)."""
+        """Client went away: free the slot; if the request already
+        finished server-side, reap its result entries (nobody will read
+        them — same leak as the stop-in-final-step path)."""
         def op():
             if self._live.pop((lv.mode, lv.rid), None) is not None:
-                self._servers[lv.mode].cancel(lv.rid)
+                srv = self._servers.get(lv.mode)
+                if srv is not None and not srv.cancel(lv.rid):
+                    srv.finished.pop(lv.rid, None)
+                    srv.finish_reasons.pop(lv.rid, None)
         self._post(op)
 
     def shutdown(self):
@@ -362,7 +422,10 @@ def make_api_handler(frontend: APIFrontend):
             while True:
                 kind, *rest = lv.events.get()
                 if kind == "error":
-                    self._err(400, rest[0])
+                    code = rest[1] if len(rest) > 1 else 400
+                    self._err(code, rest[0],
+                              "internal_error" if code >= 500
+                              else "invalid_request_error")
                     return
                 if kind == "delta":
                     continue
@@ -401,7 +464,10 @@ def make_api_handler(frontend: APIFrontend):
                     if kind == "error":
                         if started:
                             break
-                        self._err(400, rest[0])
+                        code = rest[1] if len(rest) > 1 else 400
+                        self._err(code, rest[0],
+                                  "internal_error" if code >= 500
+                                  else "invalid_request_error")
                         return
                     if not started:
                         self._sse_start()

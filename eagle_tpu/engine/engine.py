@@ -194,8 +194,11 @@ class EagleEngine:
         return self._sibling(**changes)
 
     def _bucket(self, n: int) -> int:
-        """Prompt padding bucket, capped by max_len (a 128-token quantum
-        would overflow the preallocated caches of small-max_len engines)."""
+        """Prompt padding bucket. The QUANTUM is capped by max_len (a
+        128-token quantum would overflow the preallocated caches of
+        small-max_len engines); the result is NOT capped — callers must
+        ensure n fits max_len (generate/stream/servers all guard on
+        n + path_len + 1 < max_len before bucketing)."""
         return _bucket(n, quantum=min(128, self.ecfg.max_len))
 
     def _tgt_len(self) -> int:

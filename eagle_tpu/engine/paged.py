@@ -182,9 +182,11 @@ class PagedEagleServer(EagleServer):
         and finally abort the serve loop once running requests drain."""
         eng = self.engine
         Lp = len(prompt_ids)
+        self._validate_prompt(Lp)  # before sizing: an overlong prompt must
+        # report the max_len violation, not a misleading pool-size error
         worst_rows = max(eng._bucket(Lp),
                          min(self._S_tok, Lp + max_new_tokens + eng.path_len))
-        need = min(self.pages_per_slot, -(-worst_rows // self.P))
+        need = -(-worst_rows // self.P)
         usable = self.allocator.num_pages - 1
         if need > usable:
             raise ValueError(
@@ -218,10 +220,18 @@ class PagedEagleServer(EagleServer):
             got = self.allocator.alloc(n)
         return got
 
+    def _suffix_fits(self, req: _Request, entry: PrefixEntry) -> bool:
+        """Adoption may preempt chunked prefill only when the un-cached
+        suffix (boundary row + delta) is at most one chunk — a longer
+        suffix would run as one giant unchunked adoption prefill, the
+        exact join spike chunking exists to prevent."""
+        return self.C is None or \
+            len(req.prompt) - (entry.rows - 1) <= self.C
+
     def _place(self, req: _Request, g: int, slot_idx: int) -> bool:
         if self.store is not None:
             entry = self.store.lookup(req.prompt)
-            if entry is not None and \
+            if entry is not None and self._suffix_fits(req, entry) and \
                     self._place_prefix(req, g, slot_idx, entry):
                 return True
         if self.C is not None and len(req.prompt) > self.C:
@@ -442,7 +452,8 @@ class PagedEagleServer(EagleServer):
             req = self.queue[0]
             hit = (self.store.lookup(req.prompt)
                    if self.store is not None else None)
-            if len(req.prompt) > self.C and hit is None:
+            if len(req.prompt) > self.C and (
+                    hit is None or not self._suffix_fits(req, hit)):
                 self._start_job(req)
                 self.queue.popleft()
         super()._admit()
@@ -533,8 +544,15 @@ class PagedEagleServer(EagleServer):
         Te = eng._bucket(m)
         if R + Te > self._S_tok:
             return False
+        # pin the entry BEFORE allocating: _alloc_pages may evict LRU
+        # entries to satisfy the request, and an unpinned `entry`
+        # (borrowers == 0) could be freed mid-adoption — its pages would
+        # re-enter the pool and the block table would map the suffix at
+        # the wrong logical rows, silently decoding against garbage KV
+        self.store.acquire(entry)
         suffix = self._alloc_pages(Te // P)
         if suffix is None:
+            self.store.release(entry)
             return False
         win = np.zeros((1, Te), np.int32)
         win[0, :m] = req.prompt[R - 1:]
@@ -555,8 +573,7 @@ class PagedEagleServer(EagleServer):
             eng._temp(req.temperature))
         self._pages[(g, slot_idx)] = pages
         self._borrowed[(g, slot_idx)] = npre
-        self._adopted[(g, slot_idx)] = entry
-        self.store.acquire(entry)
+        self._adopted[(g, slot_idx)] = entry  # holds the acquire above
         self._bt[g][slot_idx, :] = 0
         self._bt[g][slot_idx, :len(pages)] = pages
         self._ensure_state(g, st)

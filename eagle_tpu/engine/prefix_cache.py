@@ -135,14 +135,21 @@ class PrefixStore:
     def evict(self, want_pages: int) -> int:
         """Mark LRU borrower-less entries dead until `want_pages` of their
         own pages have been freed (or nothing evictable remains). Returns
-        pages freed immediately."""
+        pages freed immediately.
+
+        Re-scans candidates after every eviction rather than snapshotting
+        them once: freeing a child entry drops its parent's borrower count,
+        and a parent whose only borrower WAS that child must become
+        evictable within the same pass — otherwise callers see a shortfall
+        and abort ("page pool too small") with reclaimable pages still
+        held by the chain."""
         freed = 0
-        cands = sorted((e for e in self._by_hash.values()
-                        if not e.dead and e.borrowers == 0),
-                       key=lambda e: e.last_used)
-        for e in cands:
-            if freed >= want_pages:
+        while freed < want_pages:
+            cands = [e for e in self._by_hash.values()
+                     if not e.dead and e.borrowers == 0]
+            if not cands:
                 break
+            e = min(cands, key=lambda c: c.last_used)
             e.dead = True
             freed += len(e.pages_own)
             self._free(e)

@@ -135,10 +135,23 @@ class EagleServer:
 
     # ------------------------------------------------------------------
 
+    def _validate_prompt(self, n_tokens: int):
+        """Reject prompts that cannot run a single decode round within
+        max_len — admitting one would trace a prefill wider than the
+        preallocated caches and abort the serve loop mid-flight (the same
+        guard generate/stream apply, engine.py / session.py)."""
+        limit = self.engine.ecfg.max_len
+        if n_tokens + self.engine.path_len + 1 >= limit:
+            raise ValueError(
+                f"prompt of {n_tokens} tokens leaves no generation room "
+                f"within max_len {limit} (needs prompt + path_len + 1 = "
+                f"{n_tokens + self.engine.path_len + 1} rows)")
+
     def submit(self, prompt_ids, max_new_tokens: int = 512,
                seed: int = 0, temperature: Optional[float] = None) -> int:
         """`temperature` (t>0 only; requires a sampled-mode engine) rides as
         traced per-slot data — mixed temperatures in one batch are fine."""
+        self._validate_prompt(len(prompt_ids))
         if temperature is not None and self.engine.ecfg.temperature == 0.0:
             # a greedy engine's compiled program never reads the traced
             # temperature — silently returning argmax output would be a

@@ -70,15 +70,18 @@ class EagleSession:
         self._turn += 1
         p = _common_prefix(ids, self._ctx) if self._state is not None else 0
         S = eng._tgt_len()
+        if p >= 1 and (p - 1) + eng._bucket(len(ids) - (p - 1)) > S:
+            # the extension window (resume row + bucketed delta) would
+            # overflow the cache even though the context itself fits —
+            # possible when max_len isn't ~a multiple of the 128-token
+            # bucket quantum. A full bucketed prefill of the same ids
+            # always fits (stream() guards len(ids) < max_len), so fall
+            # back to it instead of failing the turn.
+            p = 0
         if p >= 1:
             start = p - 1
             m = len(ids) - start
             Te = eng._bucket(m)
-            if start + Te > S:
-                raise ValueError(
-                    f"context too long to extend: resume {start} + window "
-                    f"{Te} exceeds the {S}-row cache (max_len "
-                    f"{eng.ecfg.max_len})")
             padded = np.zeros((1, Te), np.int32)
             padded[0, :m] = ids[start:]
             fn = eng._extend_jit.get(Te)
