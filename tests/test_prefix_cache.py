@@ -31,13 +31,18 @@ def test_store_lookup_insert_evict():
     other = toks.copy()
     other[2] = 77
     assert st.lookup(other) is None
-    # e1 has a child borrower -> only e2 is evictable this pass; evicting
-    # e2 releases the parent hold, leaving e1 alive (still a usable prefix)
-    st.evict(10)
+    # a small request stops after the LRU child: e1 still holds a child
+    # borrower when e2 is picked, and freeing e2's one page satisfies it
+    assert st.evict(1) == 1
     assert sorted(freed) == [5]
     assert len(st) == 1 and st.lookup(toks[:8]) is e1
-    st.evict(10)  # now e1 is borrower-less and goes too
-    assert sorted(freed) == [3, 4, 5]
+    # a large request cascades within one pass: freeing e2 dropped e1's
+    # borrower hold, so e1 must become evictable in the SAME call —
+    # otherwise pool-pressure callers abort with reclaimable pages stranded
+    e2b = st.insert(toks[:12], [6], e1, "dk2", "dv2")
+    assert e2b.parent is e1 and e1.borrowers == 1
+    assert st.evict(10) == 3  # e2b's page AND e1's two, one pass
+    assert sorted(freed) == [3, 4, 5, 6]
     assert len(st) == 0
 
 
