@@ -52,9 +52,9 @@ Methodology invariants (do not "simplify" these):
 Prints exactly ONE JSON line on stdout; the headline fields are
 {"metric", "value", "unit", "vs_baseline"} (vs_baseline = speedup / 3.0,
 the BASELINE.md north star). "value" is the best LOSSLESS operating point
-— bf16 draft or int8+QAT draft, whichever measures faster ("headline"
-names it; both emit bit-exact greedy output against the same vanilla
-baseline, so the comparison is exact). Extra keys carry the full set:
+— bf16, int8+QAT, or int4+QAT draft (Pallas w4a8 kernel), whichever
+measures fastest ("headline" names it; all emit bit-exact greedy output
+against the same vanilla baseline, so the comparison is exact). Extra keys carry the full set:
 absolute tok/s, MBU/MFU (decode round AND prefill), the (τ, speedup)
 sweep, held-out τ, kernel A/B round times, and batched-serving aggregate
 throughput at B ∈ {1, 4, 8} (forced replay per sequence, headline engine),
@@ -418,14 +418,18 @@ def main():
         f"speedup={speedup:.2f}x | round={round_ms:.2f}ms "
         f"(MFU {mfu_round:.2f}) | total {time.time()-t0:.0f}s")
 
-    # ---- int8 draft with quantization-aware distillation (default ON;
-    # BENCH_INT8=0 skips). Draft quantization is LOSSLESS — acceptance only
-    # commits target-verified tokens, so greedy output stays bit-exact
-    # (tests/test_quant.py) — which makes int8+QAT a fair headline operating
-    # point against the same vanilla baseline.
-    int8_result = None
-    if os.environ.get("BENCH_INT8", "1") != "0":
-        tcfg_q = dataclasses.replace(tcfg, quant_aware=True)
+    # ---- int8/int4 draft with quantization-aware distillation (default
+    # ON; BENCH_INT8=0 / BENCH_INT4=0 skip). Draft quantization is
+    # LOSSLESS — acceptance only commits target-verified tokens, so greedy
+    # output stays bit-exact (tests/test_quant.py, test_quant4.py) — which
+    # makes the QAT points fair headline candidates against the same
+    # vanilla baseline. int4 runs the Pallas w4a8 kernel (ops/quant4.py).
+    quant_results = {}
+    quant_engines = {}
+    for qmode in ("int8", "int4"):
+        if os.environ.get(f"BENCH_{qmode.upper()}", "1") == "0":
+            continue
+        tcfg_q = dataclasses.replace(tcfg, quant_aware=qmode)
         opt_q = ttt.make_optimizer(tcfg_q)
         # same residency discipline as the bf16 distill: donated buffers,
         # half-batches, bounded dispatch queue, segment-level retry — and
@@ -438,26 +442,28 @@ def main():
         dparams_q, opt_state_q, mq = distill_resilient(
             dparams_q, opt_state_q, data[:TRAIN_ROWS],
             max(DISTILL_SNAPSHOTS), step_fn=step_q)
-        ecfg_q = dataclasses.replace(ecfg_h, draft_quant="int8")
+        del opt_state_q
+        ecfg_q = dataclasses.replace(ecfg_h, draft_quant=qmode)
         eng_q = EagleEngine(params, cfg, dparams_q, dcfg, ecfg_q)
-        log(f"[bench] QAT distill acc={np.asarray(mq.accs)}")
+        log(f"[bench] {qmode} QAT distill acc={np.asarray(mq.accs)}")
         tau_q, round_q, _ = measure_engine(eng_q, reps=2)
         sp_q = (tau_q * 1e3 / round_q) / vanilla_tps
-        int8_result = {"tau": round(tau_q, 2), "round_ms": round(round_q, 2),
-                       "speedup": round(sp_q, 3)}
-        log(f"[bench] int8+QAT: tau={tau_q:.2f} round={round_q:.2f}ms "
+        quant_results[qmode] = {
+            "tau": round(tau_q, 2), "round_ms": round(round_q, 2),
+            "speedup": round(sp_q, 3)}
+        quant_engines[qmode] = eng_q
+        log(f"[bench] {qmode}+QAT: tau={tau_q:.2f} round={round_q:.2f}ms "
             f"speedup={sp_q:.2f}x")
 
-    # ---- headline = best LOSSLESS operating point (both candidates emit
+    # ---- headline = best LOSSLESS operating point (all candidates emit
     # bit-exact greedy output; the vanilla baseline is identical)
-    if int8_result and int8_result["speedup"] > speedup:
-        headline = {"operating_point": "int8_qat_draft", **int8_result}
-        eng_best = eng_q
-    else:
-        headline = {"operating_point": "bf16_draft", "tau": round(tau, 2),
-                    "round_ms": round(round_ms, 2),
-                    "speedup": round(speedup, 3)}
-        eng_best = eng_h
+    headline = {"operating_point": "bf16_draft", "tau": round(tau, 2),
+                "round_ms": round(round_ms, 2), "speedup": round(speedup, 3)}
+    eng_best = eng_h
+    for qmode, res in quant_results.items():
+        if res["speedup"] > headline["speedup"]:
+            headline = {"operating_point": f"{qmode}_qat_draft", **res}
+            eng_best = quant_engines[qmode]
     # speedup-vs-τ curve at the headline round time (τ-independent shapes)
     speedup_at = {str(t): round((t * 1e3 / headline["round_ms"])
                                 / vanilla_tps, 2)
@@ -531,7 +537,7 @@ def main():
         "speedup_vs_tau": sweep,
         "serving_agg_tps": serving,
         "serving_tree_b8": serving_tree_b8,
-        **({"int8_qat": int8_result} if int8_result else {}),
+        **({f"{q}_qat": r for q, r in quant_results.items()}),
     }))
 
 

@@ -276,9 +276,10 @@ class EngineConfig:
     #   replacement candidates + true-q(x) rejection
     #   (modeling_eagle.py:842-860, 1352-1459 semantics).
     acceptance: str = "true_q"
-    # draft-head weight quantization: "none" | "int8" (ops/quant.py). The
-    # draft only proposes; quantizing it can lower τ but never changes the
-    # output distribution.
+    # draft-head weight quantization: "none" | "int8" (ops/quant.py) |
+    # "int4" (group-128 packed nibbles + Pallas matmul kernel,
+    # ops/quant4.py). The draft only proposes; quantizing it can lower τ
+    # but never changes the output distribution.
     draft_quant: str = "none"
     # accepted-branch KV compaction:
     #   "xla"    — gather + dynamic_update_slice (ops/kv_cache.py)

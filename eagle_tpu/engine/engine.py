@@ -76,6 +76,9 @@ class EagleEngine:
         if ecfg.draft_quant == "int8":
             from ..ops.quant import quantize_draft_params
             dparams = quantize_draft_params(dparams)
+        elif ecfg.draft_quant == "int4":
+            from ..ops.quant4 import quantize_draft_params4
+            dparams = quantize_draft_params4(dparams)
         self.dparams, self.dcfg = dparams, dcfg
         self.ecfg = ecfg
         if ecfg.tree_paths is not None:

@@ -43,8 +43,12 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def _dense(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    if isinstance(w, dict):  # int8 weight-only quantization (ops/quant.py)
-        from ..ops.quant import qdense
+    if isinstance(w, dict):  # weight-only quantization
+        if "q4" in w:  # packed int4 (ops/quant4.py — Pallas kernel on TPU)
+            from ..ops.quant4 import qdense4
+
+            return qdense4(x, w, b)
+        from ..ops.quant import qdense  # int8 (ops/quant.py)
 
         return qdense(x, w, b)
     y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32).astype(x.dtype)
@@ -259,7 +263,11 @@ def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray, cache: KVCache,
 def lm_head(params: dict, cfg: ModelConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     """Project hidden [.., H] → logits [.., V] (fp32)."""
     w = params["lm_head"] if not cfg.tie_embeddings else params["embed"]["w"].T
-    if isinstance(w, dict):  # int8 target (ops/quant.quantize_target_params)
+    if isinstance(w, dict):  # quantized target (ops/quant{,4}.py)
+        if "q4" in w:
+            from ..ops.quant4 import qdense4
+
+            return qdense4(hidden, w, out_dtype=jnp.float32)
         from ..ops.quant import qdense
 
         return qdense(hidden, w, out_dtype=jnp.float32)

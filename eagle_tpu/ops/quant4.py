@@ -1,0 +1,382 @@
+"""Weight-only int4 (w4a8) quantization with a Pallas TPU matmul kernel.
+
+Decode-phase matmuls are weight-streaming-bound, so bytes/param sets the
+step time: bf16 = 2, int8 = 1, int4 = 0.5. This module stores weights as
+packed nibbles (two int4 per uint8) with GROUP-wise scales along the
+contraction axis (group_size=128 by default — per-channel int4 is too
+coarse; group-128 is the standard w4 operating point, cf. GPTQ/AWQ), and
+provides:
+
+  pack_w4(w)            float [K, N] -> {"q4": uint8 [K/2, N],
+                                         "scale": f32 [K/group, N]}
+  qdense4(x, qw)        x [.., K] @ w4 -> [.., N]; Pallas kernel on TPU,
+                        XLA unpack fallback elsewhere
+  fake_quantize4_*      straight-through int4 QAT (matches pack_w4 math)
+  quantize_draft_params4 / quantize_target_params4
+                        tree-level conversion mirroring ops/quant.py
+
+Kernel design (qdense4_pallas), shaped by the v5e memory system:
+- Weights are packed HALF-SPLIT along K: byte[k, n] holds W[k, n] in the
+  low nibble and W[k + K/2, n] in the high nibble, each stored BIASED by
+  +8 (q in [-7, 7] -> nibble in [1, 15]). Unpacking is then two bitwise
+  ops on int32 lanes (mask / shift+mask — borrow-free because the -8 bias
+  is NOT subtracted per element; see next point), and the two unpacked
+  planes are used directly as the [0, K/2) and [K/2, K) row blocks — no
+  interleaving shuffle.
+- The -8 zero-point is folded into the matmul: with activations quantized
+  to int8 (per-row dynamic scales, same rule as ops/quant.qdense),
+  x @ (nib - 8) == x @ nib - 8 * rowsum(x), so the MXU consumes raw
+  nibbles (int8 in [1, 15]) with int32 accumulation and the correction is
+  one [M, 1] column subtract per group. No per-element int4->int8
+  arithmetic anywhere — the VPU does only the two mask ops per 4 bytes.
+- Grid over N blocks; one [K/2, NB] packed block (+ its [K/group, NB]
+  scale block) is resident per step, double-buffered by the Pallas
+  pipeline; the (small) activation block stays in VMEM across steps.
+- Group partial sums: one int8 MXU dot per (group, half), scaled by the
+  group's f32 scale and accumulated in f32. group_size=128 matches the
+  MXU's native contraction tile, so the per-group dots are full-rate.
+
+The reference has no analog (it is Python/eager-torch only, SURVEY §2.5);
+the int8 analog and the losslessness argument live in ops/quant.py:
+quantizing the DRAFT never changes outputs (acceptance only commits
+target-verified tokens); quantizing the TARGET is a serving operating
+point whose invariant is bit-exactness against its own vanilla decode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GROUP = 128  # scale-group size along the contraction axis
+
+
+def _eff_group(K: int, group: int) -> int:
+    """Largest usable group ≤ `group`: must divide K/2 so scale groups
+    never straddle the low/high packing halves (gcd handles the tiny
+    test-config dims where 128 doesn't divide K/2)."""
+    if K % 2:
+        raise ValueError(f"int4 packing needs even K, got {K}")
+    import math
+    return math.gcd(K // 2, group)
+
+
+def _group_of(qw: dict) -> int:
+    """Recover the group size from the packed dict's shapes (the scale
+    tensor is [K/group, N]) — keeps the layout self-describing."""
+    return 2 * qw["q4"].shape[-2] // qw["scale"].shape[-2]
+
+
+def pack_w4(w: jnp.ndarray, group: int = GROUP) -> dict:
+    """[K, N] float -> {"q4": uint8 [K/2, N], "scale": f32 [K/group, N]}.
+
+    Symmetric per-(group, output-channel) scales; nibbles biased +8."""
+    K, N = w.shape
+    group = _eff_group(K, group)
+    wf = w.astype(jnp.float32).reshape(K // group, group, N)
+    amax = jnp.max(jnp.abs(wf), axis=1)                   # [K/g, N]
+    scale = jnp.maximum(amax / 7.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale[:, None, :]), -7, 7)
+    nib = (q + 8.0).astype(jnp.uint8).reshape(K, N)       # [1, 15]
+    lo, hi = nib[: K // 2], nib[K // 2:]
+    return {"q4": lo | (hi << 4), "scale": scale}
+
+
+def unpack_w4(qw: dict, dtype=jnp.float32) -> jnp.ndarray:
+    """Dequantize back to [K, N] float (reference path; materializes)."""
+    p = qw["q4"]
+    Kh, N = p.shape
+    lo = (p & 0xF).astype(jnp.int32) - 8
+    hi = (p >> 4).astype(jnp.int32) - 8
+    q = jnp.concatenate([lo, hi], axis=0)                 # [K, N]
+    scale = qw["scale"]
+    return (q.reshape(scale.shape[0], -1, N)
+            * scale[:, None, :]).reshape(2 * Kh, N).astype(dtype)
+
+
+def _quantize_acts(x: jnp.ndarray):
+    """Per-row dynamic symmetric int8 activation quantization (the same
+    rule as ops/quant.qdense, so w4 and w8 layers see identical
+    activation error)."""
+    xf = x.astype(jnp.float32)
+    xmax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12)
+    sx = xmax / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def qdense4_xla(x: jnp.ndarray, qw: dict, b: Optional[jnp.ndarray] = None,
+                out_dtype=None) -> jnp.ndarray:
+    """Reference/fallback path: per-group int8 dots in plain XLA.
+
+    Bit-identical to the Pallas kernel (both accumulate per-group int32
+    dots, apply the -8 rowsum correction, and sum f32 partials in the
+    same group order) — the CPU test suite and non-TPU backends run this.
+    """
+    shape = x.shape
+    K = shape[-1]
+    Kh, N = qw["q4"].shape
+    group = _group_of(qw)
+    G = K // group
+    xq, sx = _quantize_acts(x.reshape(-1, K))
+    M = xq.shape[0]
+    p = qw["q4"]
+    lo = (p & 0xF).astype(jnp.int8)                       # [K/2, N] 1..15
+    hi = ((p >> 4) & 0xF).astype(jnp.int8)
+    nib = jnp.concatenate([lo, hi], axis=0)               # [K, N]
+    # batched per-group dots: [G, M, g] x [G, g, N] -> [G, M, N]
+    xg = jnp.transpose(xq.reshape(M, G, group), (1, 0, 2))
+    wg = nib.reshape(G, group, N)
+    acc = jax.lax.dot_general(
+        xg, wg, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)                 # [G, M, N]
+    rowsum = jnp.sum(xg.astype(jnp.int32), axis=2)        # [G, M]
+    corr = acc - 8 * rowsum[:, :, None]
+    y = jnp.sum(corr.astype(jnp.float32)
+                * qw["scale"].astype(jnp.float32)[:, None, :], axis=0)
+    y = (y * sx).astype(out_dtype or x.dtype).reshape(shape[:-1] + (N,))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+def _w4_kernel(xq_ref, rs_ref, p_ref, s_ref, out_ref, *, group: int,
+               half_groups: int, interpret: bool = False):
+    """One N-block: unpack nibbles, per-group int8 MXU dots with the -8
+    zero-point folded into the precomputed rowsums.
+
+    Unpack runs on i32 lanes via bitcast — 4 bytes per op (Mosaic has no
+    8-bit shift, and widening each byte to its own i32 lane wastes 4x VPU
+    throughput, measured 30%->? of peak in tools/probe_int4.py). The
+    per-byte mask trick is byte-position-preserving, so it is independent
+    of how the bitcast packs bytes into words."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    p = p_ref[:]                                          # [K/2, NB] uint8
+    NB = p.shape[1]
+    if interpret:
+        # the CPU interpreter lacks the TPU bitcast packing; plain widen
+        p32 = p.astype(jnp.int32)
+        lo = (p32 & 0xF).astype(jnp.int8)
+        hi = (p32 >> 4).astype(jnp.int8)
+    else:
+        # nibble values are 0..15, identical bits as int8 — bitcast
+        # straight to int8 (no convert op)
+        w32 = pltpu.bitcast(p, jnp.int32)
+        lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)
+        hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
+    xq = xq_ref[:]                                        # [M, K] int8
+    acc = jnp.zeros((xq.shape[0], NB), jnp.float32)
+    for g in range(2 * half_groups):
+        plane = lo if g < half_groups else hi
+        r0 = (g % half_groups) * group
+        dot = jax.lax.dot_general(
+            xq[:, g * group:(g + 1) * group], plane[r0:r0 + group, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)             # [M, NB]
+        corr = dot - rs_ref[:, g:g + 1]                   # fold -8 bias
+        acc = acc + corr.astype(jnp.float32) * s_ref[g, :][None, :]
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("group", "block_n", "interpret"))
+def _qdense4_pallas_2d(xq, rowsums, q4, scale, group: int = GROUP,
+                       block_n: int = 1024, interpret: bool = False):
+    """Grid = (N blocks, M blocks), M minor: a weight block (the big
+    streamed operand) is loaded once and reused across every M block,
+    while the small activation block cycles — so decode (one M block) and
+    prefill (several) stream each weight byte exactly once per N sweep.
+    Per-row numerics are M-blocking-independent (exact int dots, fixed
+    f32 group order), preserving verify==vanilla bit-exactness."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = xq.shape
+    Kh, N = q4.shape
+    G = K // group
+    # Block size: bigger N blocks amortize per-grid-step overhead
+    # (measured: 38% -> 47% of peak going 256 -> 1024 at K=4096,
+    # tools/probe_w4_ablate.py), but VMEM holds packed (x2 pipeline
+    # buffers) + both unpacked planes ~= 4 * (K/2 * bn) bytes — cap that
+    # at ~8 MB. Must divide N; last resort one (possibly unaligned) block.
+    budget = max(128, min(block_n, (2 << 20) // Kh // 128 * 128))
+    bn = next((c for c in (budget, 512, 256, 128) if c <= budget
+               and N % c == 0), N)
+    # M arrives padded to a multiple of 32; use the largest block <= 128
+    # that divides it (verify rounds are M=64 — padding them to 128 would
+    # double the MXU/VPU work of the whole verify forward)
+    bm = next(c for c in (128, 96, 64, 32) if M % c == 0)
+    kernel = functools.partial(_w4_kernel, group=group,
+                               half_groups=G // 2, interpret=interpret)
+    return pl.pallas_call(
+        kernel,
+        grid=(N // bn, M // bm),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, G), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kh, bn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, bn), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        interpret=interpret,
+    )(xq, rowsums, q4, scale)
+
+
+def qdense4(x: jnp.ndarray, qw: dict, b: Optional[jnp.ndarray] = None,
+            out_dtype=None,
+            interpret: Optional[bool] = None) -> jnp.ndarray:
+    """x [.., K] @ packed-int4 weights -> [.., N].
+
+    Pallas kernel on TPU; qdense4_xla elsewhere (same numerics).
+    interpret=True forces the kernel through the Pallas interpreter
+    (kernel-logic tests on CPU)."""
+    if interpret is None:
+        if jax.default_backend() != "tpu":
+            return qdense4_xla(x, qw, b, out_dtype=out_dtype)
+        interpret = False
+    shape = x.shape
+    K = shape[-1]
+    N = qw["q4"].shape[1]
+    group = _group_of(qw)
+    G = K // group
+    xq, sx = _quantize_acts(x.reshape(-1, K))
+    M = xq.shape[0]
+    # pad M to the int8 sublane tile (32); the kernel picks an M block
+    # that divides the padded size
+    Mp = -(-M // 32) * 32
+    if Mp != M:
+        xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
+    # 8 * per-group rowsums, precomputed in XLA (tiny: [M, G])
+    rs = 8 * jnp.sum(xq.reshape(Mp, G, group).astype(jnp.int32), axis=2)
+    y = _qdense4_pallas_2d(xq, rs, qw["q4"],
+                           qw["scale"].astype(jnp.float32), group=group,
+                           interpret=interpret)
+    y = (y[:M] * sx).astype(out_dtype or x.dtype).reshape(
+        shape[:-1] + (N,))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Tree-level conversion (mirrors ops/quant.py coverage exactly)
+# ---------------------------------------------------------------------------
+
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def _packable(w, group: int) -> bool:
+    K = w.shape[-2]
+    return K % 2 == 0  # group auto-adapts via _eff_group (gcd)
+
+
+def quantize_draft_params4(dparams: dict, group: int = GROUP) -> dict:
+    """int4-pack every matrix ops/quant.quantize_draft_params would int8;
+    matrices whose contraction dim can't group-pack stay bf16."""
+    out = dict(dparams)
+    layers = []
+    for lp in dparams["layers"]:
+        nlp = dict(lp)
+        for k in _QUANT_KEYS:
+            if k in nlp and not isinstance(nlp[k], dict) \
+                    and _packable(nlp[k], group):
+                nlp[k] = pack_w4(nlp[k], group)
+        layers.append(nlp)
+    out["layers"] = layers
+    if "fc" in out and not isinstance(out["fc"].get("w"), dict) \
+            and _packable(out["fc"]["w"], group):
+        fc = dict(out["fc"])
+        fc["w"] = pack_w4(fc["w"], group)
+        out["fc"] = fc
+    if "lm_head" in out and not isinstance(out["lm_head"], dict) \
+            and _packable(out["lm_head"], group):
+        out["lm_head"] = pack_w4(out["lm_head"], group)
+    return out
+
+
+def _pack_w4_host(w, group: int = GROUP) -> dict:
+    """Host (numpy) packing for 2-D [K, N] or stacked [L, K, N] weights —
+    same math as pack_w4/vmap(pack_w4); avoids staging fp32 copies of a
+    multi-GB tree on device (see quant.quantize_target_params)."""
+    wf = np.asarray(w, np.float32)
+    K, N = wf.shape[-2], wf.shape[-1]
+    group = _eff_group(K, group)
+    lead = wf.shape[:-2]
+    wg = wf.reshape(lead + (K // group, group, N))
+    amax = np.max(np.abs(wg), axis=-2)
+    scale = np.maximum(amax / 7.0, 1e-12).astype(np.float32)
+    q = np.clip(np.round(wg / scale[..., None, :]), -7, 7)
+    nib = (q + 8.0).astype(np.uint8).reshape(lead + (K, N))
+    lo, hi = nib[..., : K // 2, :], nib[..., K // 2:, :]
+    return {"q4": lo | (hi << 4), "scale": scale}
+
+
+def quantize_target_params4(params: dict, group: int = GROUP) -> dict:
+    """Weight-only int4 for a TARGET tree (stacked [L, K, N] layers +
+    lm_head), on the host. Serving operating point: outputs match the int4
+    target's own vanilla decode bit-for-bit, not the bf16 target's —
+    same contract as quant.quantize_target_params. Single-chip path (TP
+    specs map bf16 leaves)."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k in _QUANT_KEYS:
+        if k in layers and not isinstance(layers[k], dict):
+            layers[k] = _pack_w4_host(layers[k], group)
+    out["layers"] = layers
+    if "lm_head" in out and not isinstance(out["lm_head"], dict):
+        out["lm_head"] = _pack_w4_host(out["lm_head"], group)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Quantization-aware training (straight-through, matches pack_w4 math)
+# ---------------------------------------------------------------------------
+
+def fake_quantize4_linear(w: jnp.ndarray, group: int = GROUP) -> jnp.ndarray:
+    K, N = w.shape
+    group = _eff_group(K, group)
+    wf = w.astype(jnp.float32).reshape(K // group, group, N)
+    amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)
+    scale = jnp.maximum(amax / 7.0, 1e-12)
+    dq = (jnp.clip(jnp.round(wf / scale), -7, 7) * scale).reshape(K, N)
+    wf = wf.reshape(K, N)
+    return (wf + jax.lax.stop_gradient(dq - wf)).astype(w.dtype)
+
+
+def fake_quantize4_draft_params(dparams: dict, group: int = GROUP) -> dict:
+    """STE int4 fake-quant over exactly quantize_draft_params4's coverage."""
+    out = dict(dparams)
+    if "layers" in out:
+        layers = []
+        for lp in out["layers"]:
+            nlp = dict(lp)
+            for k in _QUANT_KEYS:
+                if k in nlp and not isinstance(nlp[k], dict) \
+                        and _packable(nlp[k], group):
+                    nlp[k] = fake_quantize4_linear(nlp[k], group)
+            layers.append(nlp)
+        out["layers"] = layers
+    if "fc" in out and not isinstance(out["fc"].get("w"), dict) \
+            and _packable(out["fc"]["w"], group):
+        fc = dict(out["fc"])
+        fc["w"] = fake_quantize4_linear(fc["w"], group)
+        out["fc"] = fc
+    if "lm_head" in out and not isinstance(out["lm_head"], dict) \
+            and _packable(out["lm_head"], group):
+        out["lm_head"] = fake_quantize4_linear(out["lm_head"], group)
+    return out

@@ -52,9 +52,11 @@ class TrainConfig:
     weight_decay: float = 0.01
     grad_clip: float = 0.5
     # quantization-aware distillation: run the draft forward through STE
-    # fake-int8 weights (ops/quant.py:fake_quantize_draft_params) so the
-    # int8-deployed draft (EngineConfig.draft_quant="int8") keeps its τ
-    quant_aware: bool = False
+    # fake-quantized weights so the quantized-deployed draft keeps its τ.
+    # False | True/"int8" (ops/quant.fake_quantize_draft_params, for
+    # EngineConfig.draft_quant="int8") | "int4" (group-128 packed nibbles,
+    # ops/quant4.fake_quantize4_draft_params, for draft_quant="int4")
+    quant_aware: object = False
 
 
 class TTTMetrics(NamedTuple):
@@ -268,7 +270,10 @@ def train_step(dparams: dict, opt_state, target_params: dict,
 
     def loss_fn(tp):
         dp = {**tp, **frozen}
-        if tcfg.quant_aware:
+        if tcfg.quant_aware == "int4":
+            from ..ops.quant4 import fake_quantize4_draft_params
+            dp = fake_quantize4_draft_params(dp)
+        elif tcfg.quant_aware:
             from ..ops.quant import fake_quantize_draft_params
             dp = fake_quantize_draft_params(dp)
         m = ttt_forward(dp, dcfg, taps, ids, tgt, lmask,

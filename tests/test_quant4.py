@@ -1,0 +1,168 @@
+"""int4 (w4a8) quantization: packing round-trip, Pallas-kernel vs XLA-path
+equivalence, QAT coverage, and the losslessness guarantees — an int4 draft
+must still produce bit-exact greedy output; an int4 TARGET must be
+bit-exact against its own vanilla decode (same contracts as int8,
+tests/test_quant.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eagle_tpu.config import EngineConfig
+from eagle_tpu.engine.engine import EagleEngine
+from eagle_tpu.ops import quant4
+
+from test_engine_greedy import PROMPT, make_engine
+
+
+def test_pack_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(512, 384)).astype(np.float32) * 0.05
+    qw = quant4.pack_w4(jnp.asarray(w))
+    assert qw["q4"].dtype == jnp.uint8 and qw["q4"].shape == (256, 384)
+    assert qw["scale"].shape == (512 // quant4.GROUP, 384)
+    dq = np.asarray(quant4.unpack_w4(qw))
+    half_step = np.asarray(qw["scale"]).repeat(quant4.GROUP, axis=0) / 2
+    assert np.all(np.abs(dq - w) <= half_step + 1e-6)
+
+
+def test_group_adapts_to_small_dims():
+    # K/2 = 16 not divisible by 128 -> group falls back to gcd = 16
+    w = jnp.asarray(np.random.default_rng(1).normal(size=(32, 64)),
+                    jnp.float32)
+    qw = quant4.pack_w4(w)
+    assert qw["scale"].shape == (2, 64)
+    assert quant4._group_of(qw) == 16
+
+
+def test_qdense4_close_to_dense():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(5, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 96)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(96,)), jnp.float32)
+    ref = x @ w + b
+    out = quant4.qdense4_xla(x, quant4.pack_w4(w), b)
+    rel = float(jnp.linalg.norm(out - ref) / jnp.linalg.norm(ref))
+    # int4 is coarse (the point of QAT); group-128 amax scaling on gaussian
+    # weights lands ~10% output error — assert sane, not tight
+    assert rel < 0.15, rel
+    # ... and strictly worse than int8 on the same weights (sanity that the
+    # two paths are what they claim)
+    from eagle_tpu.ops import quant
+    out8 = quant.qdense(x, quant.quantize_linear(w), b)
+    rel8 = float(jnp.linalg.norm(out8 - ref) / jnp.linalg.norm(ref))
+    assert rel8 < rel
+
+
+@pytest.mark.parametrize("M,K,N", [(5, 512, 384), (1, 256, 128),
+                                   (33, 256, 640), (300, 256, 384)])
+def test_pallas_kernel_matches_xla_path(M, K, N):
+    """The interpret-mode kernel and the XLA fallback share group order and
+    int accumulation — results must agree to f32 summation noise."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    qw = quant4.pack_w4(jnp.asarray(rng.normal(size=(K, N)) * 0.1,
+                                    jnp.float32))
+    y_xla = quant4.qdense4_xla(x, qw, out_dtype=jnp.float32)
+    y_pl = quant4.qdense4(x, qw, out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_xla),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_host_packer_matches_device():
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(256, 128)).astype(np.float32) * 0.1
+    qd = quant4.pack_w4(jnp.asarray(w))
+    qh = quant4._pack_w4_host(w)
+    np.testing.assert_array_equal(np.asarray(qd["q4"]), qh["q4"])
+    np.testing.assert_allclose(np.asarray(qd["scale"]), qh["scale"],
+                               rtol=1e-6)
+    # stacked [L, K, N] packs per layer
+    ws = np.stack([w, 2 * w])
+    qs = quant4._pack_w4_host(ws)
+    np.testing.assert_array_equal(qs["q4"][0], qh["q4"])
+    assert qs["scale"].shape == (2, 256 // quant4.GROUP, 128)
+
+
+def test_fake_quant_matches_dequant():
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.normal(size=(256, 64)) * 0.1, jnp.float32)
+    fq = quant4.fake_quantize4_linear(w)
+    dq = quant4.unpack_w4(quant4.pack_w4(w))
+    np.testing.assert_allclose(np.asarray(fq), np.asarray(dq), atol=1e-6)
+
+
+def test_quantize_draft_params4_structure():
+    from eagle_tpu.models import draft as draft_mod
+    from test_engine_greedy import tiny_dcfg
+
+    dcfg = tiny_dcfg(3)
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(0))
+    qp = quant4.quantize_draft_params4(dparams)
+    assert qp["layers"][0]["wq"]["q4"].dtype == jnp.uint8
+    assert qp["lm_head"]["q4"].dtype == jnp.uint8
+    assert qp["fc"]["w"]["q4"].dtype == jnp.uint8
+    assert qp["embed"]["w"].dtype == dparams["embed"]["w"].dtype
+    assert qp["norm"].dtype == dparams["norm"].dtype
+
+
+@pytest.mark.parametrize("version", [1, 3])
+def test_int4_draft_still_bit_exact_greedy(version):
+    eng0 = make_engine(version)
+    ref = eng0.generate_vanilla(PROMPT, max_new_tokens=30)
+    ecfg_q = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256,
+                          draft_quant="int4")
+    eng = EagleEngine(eng0.params, eng0.cfg, eng0.dparams, eng0.dcfg, ecfg_q)
+    out, ntok, rounds = eng.generate(PROMPT, max_new_tokens=30, log=True)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+    assert ntok / rounds >= 1.0
+
+
+@pytest.mark.parametrize("version", [1, 3])
+def test_int4_target_greedy_bit_exact_within_engine(version):
+    """int4 TARGET serving mode: outputs must match the int4 target's OWN
+    vanilla decode bit-for-bit (same contract as the int8 target)."""
+    eng0 = make_engine(version)
+    qparams = quant4.quantize_target_params4(eng0.params)
+    eng = EagleEngine(qparams, eng0.cfg, eng0.dparams, eng0.dcfg, eng0.ecfg)
+    ref = eng.generate_vanilla(PROMPT, max_new_tokens=30)
+    out = eng.generate(PROMPT, max_new_tokens=30)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+    out_f = eng.generate_fused(PROMPT, max_new_tokens=30)
+    np.testing.assert_array_equal(out_f[: len(ref)], ref[: len(out_f)])
+
+
+def test_int4_qat_train_step_runs():
+    """quant_aware='int4' TTT distillation step produces finite loss and
+    grads that change the params."""
+    import dataclasses
+
+    from eagle_tpu.train import ttt
+    from test_engine_greedy import tiny_cfg, tiny_dcfg
+    from eagle_tpu.models import draft as draft_mod
+    from eagle_tpu.models import transformer
+
+    cfg = tiny_cfg()
+    dcfg = tiny_dcfg(3)
+    params = transformer.init_params(cfg, jax.random.PRNGKey(0))
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(1))
+    tcfg = ttt.TrainConfig(length=2, lr=1e-3, warmup_steps=1,
+                           total_steps=10, quant_aware="int4")
+    opt = ttt.make_optimizer(tcfg)
+    opt_state = opt.init(ttt.partition_trainable(dparams)[0])
+    batch = {
+        "input_ids": jnp.asarray(
+            np.random.default_rng(0).integers(0, 128, (2, 24)), jnp.int32),
+        "loss_mask": jnp.ones((2, 24), jnp.float32),
+        "pad_mask": jnp.ones((2, 24), bool),
+    }
+    # two steps: warmup starts at lr=0, so step 0 alone can't move params
+    dp2, opt_state, m = ttt.train_step(dparams, opt_state, params, cfg,
+                                       dcfg, tcfg, opt, batch)
+    dp2, _, m = ttt.train_step(dp2, opt_state, params, cfg, dcfg,
+                               tcfg, opt, batch)
+    assert np.isfinite(float(m.loss))
+    assert not np.array_equal(np.asarray(dp2["fc"]["w"]),
+                              np.asarray(dparams["fc"]["w"]))

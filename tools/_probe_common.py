@@ -97,3 +97,41 @@ def device_int8_params_4b(seed=0):
     params["lm_head"]["scale"] = params["lm_head"]["scale"] * 8.0
     jax.block_until_ready(params)
     return params
+
+
+def device_int4_params_4b(seed=0, group=128):
+    """Random packed-int4 4B target tree, built directly on device.
+
+    Leaf structure matches ops/quant4.quantize_target_params4 ({"q4":
+    uint8 [..., K/2, N], "scale": f32 [..., K/group, N]} for the seven
+    layer projections + lm_head; embed/norms bf16). Scales put effective
+    weight std ~= 0.02 (nibbles-8 are ~uniform in [-7, 7], std ~= 4.3).
+    """
+    key = jax.random.PRNGKey(seed)
+    ks = iter(jax.random.split(key, 16))
+
+    def q4(*shape):
+        K, N = shape[-2], shape[-1]
+        q = jax.random.randint(next(ks), shape[:-2] + (K // 2, N),
+                               0, 256, jnp.int32).astype(jnp.uint8)
+        scale = jnp.full(shape[:-2] + (K // group, N), 0.02 / 4.3,
+                         jnp.float32)
+        return {"q4": q, "scale": scale}
+
+    params = {
+        "embed": {"w": jax.random.normal(next(ks), (V, H), jnp.bfloat16)
+                  * 0.02},
+        "layers": {
+            "ln1": jnp.ones((L, H), jnp.bfloat16),
+            "ln2": jnp.ones((L, H), jnp.bfloat16),
+            "wq": q4(L, H, NQ * D), "wk": q4(L, H, NKV * D),
+            "wv": q4(L, H, NKV * D), "wo": q4(L, NQ * D, H),
+            "w_gate": q4(L, H, F), "w_up": q4(L, H, F),
+            "w_down": q4(L, F, H),
+        },
+        "final_norm": jnp.ones((H,), jnp.bfloat16),
+        "lm_head": q4(H, V),
+    }
+    params["lm_head"]["scale"] = params["lm_head"]["scale"] * 8.0
+    jax.block_until_ready(params)
+    return params

@@ -1,0 +1,59 @@
+"""int4-TARGET operating point at 4B scale — device-built weights.
+
+Builds a random packed-int4 target tree directly on device
+(tools/_probe_common.py:device_int4_params_4b — same leaf structure as
+ops/quant4.quantize_target_params4). Values differ from the bench target
+but round/vanilla-step TIME is weight-value-independent. The decode
+matmuls run through the Pallas w4a8 kernel (ops/quant4.py).
+
+Run: python tools/bench_int4_target.py  (real TPU)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+import numpy as np
+import jax
+
+from _probe_common import (CFG_4B, DCFG_4B, PEAK_BW, V,
+                           device_int4_params_4b, retry, timed)
+from eagle_tpu.config import EngineConfig
+from eagle_tpu.engine.engine import EagleEngine
+from eagle_tpu.models import draft as draft_mod
+
+t = time.time()
+qparams = device_int4_params_4b()
+qbytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(qparams))
+print(f"int4 target built on device: {qbytes/1e9:.2f} GB in "
+      f"{time.time()-t:.0f}s", flush=True)
+dparams = draft_mod.init_params(DCFG_4B, jax.random.PRNGKey(1))
+dparams["embed"]["w"] = qparams["embed"]["w"]
+
+prompt = np.random.default_rng(0).integers(0, V, size=16).astype(np.int32)
+LO, HI = 16, 112
+
+for dq in ("none", "int8", "int4"):
+    ecfg = EngineConfig(total_tokens=63, depth=7, top_k=10, max_len=1024,
+                        kv_buckets=(256, 512), compact_impl="pallas",
+                        draft_quant=dq)
+    eng = EagleEngine(qparams, CFG_4B, dparams, DCFG_4B, ecfg)
+    tv_lo = timed(lambda: retry(lambda: eng.generate_vanilla(
+        prompt, max_new_tokens=LO, fused=True)))
+    tv_hi = timed(lambda: retry(lambda: eng.generate_vanilla(
+        prompt, max_new_tokens=HI, fused=True)))
+    vstep = 1e3 * (tv_hi - tv_lo) / (HI - LO)
+    mbu = (qbytes / (vstep / 1e3)) / PEAK_BW
+
+    def run(budget):
+        return retry(lambda: eng.generate_fused(prompt, max_new_tokens=budget,
+                                                log=True))
+
+    te_lo = timed(lambda: run(LO)); o_lo = run(LO)
+    te_hi = timed(lambda: run(HI)); o_hi = run(HI)
+    dr = max(o_hi[2] - o_lo[2], 1)
+    round_ms = 1e3 * (te_hi - te_lo) / dr
+    print(f"draft_quant={dq}: vanilla step {vstep:.2f}ms (MBU {mbu:.2f}) | "
+          f"round {round_ms:.2f}ms | tok/s@tau7.7={7.7*1e3/round_ms:.0f} | "
+          f"speedup@tau7.7={7.7*vstep/round_ms:.2f}x", flush=True)
