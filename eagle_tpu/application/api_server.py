@@ -87,6 +87,20 @@ class APIFrontend:
         self._ops: List[Callable] = []
         self._cv = threading.Condition()
         self._shutdown = False
+        # serving counters (written only on the scheduler thread; HTTP
+        # threads read them lock-free — ints are GIL-atomic, and metrics
+        # tolerate a step of skew)
+        self._t0 = time.time()
+        self.counters = {
+            "requests_total": 0,        # accepted submissions
+            "requests_completed": 0,    # finished (eos/length/stop)
+            "requests_cancelled": 0,    # client disconnect / stop-cancel
+            "requests_rejected": 0,     # validation errors at submit
+            "prompt_tokens": 0,
+            "completion_tokens": 0,
+            "decode_steps": 0,          # scheduler steps across servers
+            "server_errors": 0,
+        }
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -124,6 +138,7 @@ class APIFrontend:
                     continue
                 try:
                     emitted = srv.step()
+                    self.counters["decode_steps"] += 1
                     for rid, toks in emitted.items():
                         self._on_tokens(sampled, srv, rid, toks)
                     for rid in [r for (m, r) in self._live
@@ -141,6 +156,7 @@ class APIFrontend:
         a fresh server (same engine/params) is built lazily on next use;
         the broken one's pool/slot state is unrecoverable mid-flight."""
         self._servers.pop(sampled, None)
+        self.counters["server_errors"] += 1
         msg = f"internal scheduler error: {exc!r}"
         for key in [k for k in self._live if k[0] == sampled]:
             self._live.pop(key).events.put(("error", msg, 500))
@@ -209,10 +225,14 @@ class APIFrontend:
         lv = self._live.get((sampled, rid))
         if lv is None or lv.done:
             return
-        lv.ids.extend(int(t) for t in toks
-                      if self.eos_token_id is None
-                      or t != self.eos_token_id)
+        kept = [int(t) for t in toks
+                if self.eos_token_id is None or t != self.eos_token_id]
+        lv.ids.extend(kept)
+        self.counters["completion_tokens"] += len(kept)
         if self._emit_delta(lv, final=False):
+            # a stop-string hit completes the request (finish_reason
+            # "stop"); the server-side cancel only frees the slot
+            self.counters["requests_completed"] += 1
             if not srv.cancel(rid):
                 # already finished server-side this same step (e.g. the
                 # stop string arrived in the request's final chunk): the
@@ -228,6 +248,7 @@ class APIFrontend:
         reason = srv.finish_reasons.pop(rid, "length")
         if lv is None or lv.done:
             return
+        self.counters["requests_completed"] += 1
         self._emit_delta(lv, final=True)
         if not lv.done:
             fr = "stop" if reason == "eos" else "length"
@@ -257,7 +278,10 @@ class APIFrontend:
                     prompt_ids, max_new_tokens=max_tokens, seed=seed,
                     temperature=temperature if sampled else None)
                 self._live[(sampled, lv.rid)] = lv
+                self.counters["requests_total"] += 1
+                self.counters["prompt_tokens"] += len(prompt_ids)
             except Exception as e:  # sizing/validation errors
+                self.counters["requests_rejected"] += 1
                 lv.events.put(("error", str(e)))
             finally:
                 done.set()
@@ -272,11 +296,53 @@ class APIFrontend:
         them — same leak as the stop-in-final-step path)."""
         def op():
             if self._live.pop((lv.mode, lv.rid), None) is not None:
+                self.counters["requests_cancelled"] += 1
                 srv = self._servers.get(lv.mode)
                 if srv is not None and not srv.cancel(lv.rid):
                     srv.finished.pop(lv.rid, None)
                     srv.finish_reasons.pop(lv.rid, None)
         self._post(op)
+
+    def render_metrics(self) -> str:
+        """Prometheus text exposition (version 0.0.4) of the serving
+        counters + gauges. The vLLM-style operational surface the
+        reference lacks; scrape GET /metrics."""
+        c = dict(self.counters)  # snapshot (scheduler thread keeps writing)
+        lines = []
+
+        def metric(name, mtype, value, help_):
+            lines.append(f"# HELP eagle_{name} {help_}")
+            lines.append(f"# TYPE eagle_{name} {mtype}")
+            lines.append(f"eagle_{name} {value}")
+
+        metric("requests_total", "counter", c["requests_total"],
+               "Requests accepted into the scheduler")
+        metric("requests_completed_total", "counter",
+               c["requests_completed"],
+               "Requests finished (eos / length / stop string)")
+        metric("requests_cancelled_total", "counter",
+               c["requests_cancelled"],
+               "Requests cancelled by client disconnect")
+        metric("requests_rejected_total", "counter",
+               c["requests_rejected"],
+               "Submissions rejected at validation")
+        metric("prompt_tokens_total", "counter", c["prompt_tokens"],
+               "Prompt tokens accepted")
+        metric("completion_tokens_total", "counter",
+               c["completion_tokens"], "Completion tokens emitted")
+        metric("decode_steps_total", "counter", c["decode_steps"],
+               "Scheduler decode steps (speculative rounds) across servers")
+        metric("server_errors_total", "counter", c["server_errors"],
+               "Server instances dropped after a mid-step failure")
+        metric("requests_in_flight", "gauge", len(self._live),
+               "Requests currently scheduled")
+        metric("uptime_seconds", "gauge",
+               round(time.time() - self._t0, 3), "Frontend uptime")
+        if c["decode_steps"]:
+            metric("tokens_per_step", "gauge",
+                   round(c["completion_tokens"] / c["decode_steps"], 4),
+                   "Mean committed tokens per decode step (tau x batch)")
+        return "\n".join(lines) + "\n"
 
     def shutdown(self):
         with self._cv:
@@ -373,6 +439,14 @@ def make_api_handler(frontend: APIFrontend):
                      "created": _now(), "owned_by": "eagle-tpu"}]})
             elif self.path in ("/health", "/healthz"):
                 self._json(200, {"status": "ok"})
+            elif self.path == "/metrics":
+                payload = fe.render_metrics().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
             else:
                 self._err(404, f"unknown path {self.path}")
 

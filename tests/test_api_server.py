@@ -227,3 +227,32 @@ def test_bad_requests_get_400():
             assert ei.value.code == 400
     finally:
         _teardown(fe, srv)
+
+
+def test_metrics_endpoint():
+    """GET /metrics serves Prometheus text with counters that reflect the
+    traffic actually served."""
+    eng, fe, srv, port = _mk_frontend()
+    try:
+        r = json.loads(_post(port, "/v1/completions",
+                             {"prompt": "abcd", "max_tokens": 6}).read())
+        assert r["usage"]["completion_tokens"] > 0
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=60)
+        assert body.headers["Content-Type"].startswith("text/plain")
+        text = body.read().decode()
+        m = {}
+        for line in text.splitlines():
+            if line and not line.startswith("#"):
+                k, v = line.split()
+                m[k] = float(v)
+        assert m["eagle_requests_total"] == 1
+        assert m["eagle_requests_completed_total"] == 1
+        assert m["eagle_requests_in_flight"] == 0
+        assert m["eagle_prompt_tokens_total"] == 4
+        assert m["eagle_completion_tokens_total"] >= 6
+        assert m["eagle_decode_steps_total"] >= 1
+        assert m["eagle_tokens_per_step"] > 0
+        assert m["eagle_uptime_seconds"] > 0
+    finally:
+        _teardown(fe, srv)

@@ -135,3 +135,21 @@ def device_int4_params_4b(seed=0, group=128):
     params["lm_head"]["scale"] = params["lm_head"]["scale"] * 8.0
     jax.block_until_ready(params)
     return params
+
+
+def batched_round_ms(eng, V_, B, lo=16, hi=112, seed=0):
+    """Slope-timed batched decode round (ms) via generate_batch_fused:
+    round time is tau-independent (fixed shapes), so this prices the
+    serving round without needing a trained draft."""
+    rng = np.random.default_rng(seed)
+    prompts = [rng.integers(0, V_, size=16).astype(np.int32)
+               for _ in range(B)]
+
+    def run(budget):
+        return retry(lambda: eng.generate_batch_fused(
+            prompts, max_new_tokens=budget, log=True))
+
+    t_lo = timed(lambda: run(lo), n=2)
+    t_hi = timed(lambda: run(hi), n=2)
+    r_lo, r_hi = run(lo)[2], run(hi)[2]
+    return 1e3 * (t_hi - t_lo) / max(r_hi - r_lo, 1)

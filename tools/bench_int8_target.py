@@ -20,6 +20,7 @@ import numpy as np
 import jax
 
 from _probe_common import (CFG_4B, DCFG_4B, PEAK_BW, V,
+                           batched_round_ms,
                            device_int8_params_4b, retry, timed)
 from eagle_tpu.config import EngineConfig
 from eagle_tpu.engine.engine import EagleEngine
@@ -59,3 +60,11 @@ for dq in ("none", "int8"):
     print(f"draft_quant={dq}: vanilla step {vstep:.2f}ms (MBU {mbu:.2f}) | "
           f"round {round_ms:.2f}ms | tok/s@tau7.7={7.7*1e3/round_ms:.0f} | "
           f"speedup@tau7.7={7.7*vstep/round_ms:.2f}x", flush=True)
+
+# ---- batched serving round (B=8): the batched verify is MXU-bound, so a
+# quantized target's int8/int4 dots price it differently than bf16; report
+# the round time and the aggregate tok/s it implies at tau=7.7
+for B in (8,):
+    rb = batched_round_ms(eng, V, B)
+    print(f"B={B} serving round {rb:.2f}ms | aggregate tok/s@tau7.7="
+          f"{B * 7.7 * 1e3 / rb:.0f}", flush=True)
