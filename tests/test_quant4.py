@@ -166,3 +166,36 @@ def test_int4_qat_train_step_runs():
     assert np.isfinite(float(m.loss))
     assert not np.array_equal(np.asarray(dp2["fc"]["w"]),
                               np.asarray(dparams["fc"]["w"]))
+
+
+def test_custom_vmap_flatten_bit_exact():
+    """vmap of qdense4 must flatten the batch into M (one kernel call,
+    weights streamed once) and return exactly the per-example results."""
+    rng = np.random.default_rng(7)
+    B, M, K, N = 3, 8, 256, 128
+    x = jnp.asarray(rng.normal(size=(B, M, K)), jnp.float32)
+    qw = quant4.pack_w4(jnp.asarray(rng.normal(size=(K, N)) * 0.1,
+                                    jnp.float32))
+
+    def f(xi):
+        return quant4.qdense4(xi, qw, out_dtype=jnp.float32,
+                              interpret=True)
+
+    yv = np.asarray(jax.vmap(f)(x))
+    ys = np.stack([np.asarray(f(x[i])) for i in range(B)])
+    np.testing.assert_array_equal(yv, ys)
+
+
+def test_int4_draft_batched_matches_singles():
+    """Batched fused generation with an int4 draft stays bit-identical to
+    per-sequence generation (the kernel's vmap flatten is invisible)."""
+    import dataclasses
+
+    eng0 = make_engine(3)
+    ecfg_q = dataclasses.replace(eng0.ecfg, draft_quant="int4")
+    eng = EagleEngine(eng0.params, eng0.cfg, eng0.dparams, eng0.dcfg, ecfg_q)
+    prompts = [PROMPT, PROMPT[:5], np.array([9, 2, 77, 31], np.int32)]
+    singles = [eng.generate(p, max_new_tokens=16) for p in prompts]
+    outs = eng.generate_batch_fused(prompts, max_new_tokens=16)
+    for o, s in zip(outs, singles):
+        np.testing.assert_array_equal(o, s)
