@@ -112,9 +112,10 @@ def quantize_target_params(params: dict) -> dict:
     greedy invariant holds within the quantized engine; enforced by
     tests/test_quant.py), not the bf16 target's.
 
-    Single-chip serving path: `parallel.sharding.target_param_specs` maps
-    the bf16 leaf structure, so quantize BEFORE building an engine, on an
-    unsharded tree (int8 + TP would need q8/scale-aware specs — not wired).
+    Works under TP: shard the quantized tree with
+    `parallel.sharding.quantized_target_param_specs` (q8 inherits the bf16
+    spec; scale drops the contraction axis). Sharded int8 is bit-exact vs
+    unsharded — int32 partial-dot psums are exact integers.
     """
     out = dict(params)
     layers = dict(params["layers"])

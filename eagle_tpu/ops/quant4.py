@@ -371,8 +371,11 @@ def quantize_target_params4(params: dict, group: int = GROUP) -> dict:
     """Weight-only int4 for a TARGET tree (stacked [L, K, N] layers +
     lm_head), on the host. Serving operating point: outputs match the int4
     target's own vanilla decode bit-for-bit, not the bf16 target's —
-    same contract as quant.quantize_target_params. Single-chip path (TP
-    specs map bf16 leaves)."""
+    same contract as quant.quantize_target_params. Single-chip path:
+    unlike int8 (plain XLA dots, TP-shardable via
+    sharding.quantized_target_param_specs), the int4 matmul is a Pallas
+    custom call that XLA SPMD cannot auto-partition — TP would need a
+    shard_map wrapper."""
     out = dict(params)
     layers = dict(params["layers"])
     for k in _QUANT_KEYS:

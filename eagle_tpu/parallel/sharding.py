@@ -83,6 +83,41 @@ def target_param_specs(cfg: ModelConfig) -> dict:
     return specs
 
 
+_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantized_target_param_specs(cfg: ModelConfig) -> dict:
+    """target_param_specs for an int8-quantized target tree
+    (ops/quant.quantize_target_params leaf structure: the seven layer
+    projections + lm_head become {"q8": [.., K, N], "scale": [.., N]}).
+
+    q8 inherits the bf16 weight's spec; scale drops the contraction axis.
+    TP over int8 is numerically EXACT vs unsharded: a contraction-sharded
+    qdense accumulates int32 partials per shard and the psum of exact
+    integers is exact, while column-sharded layers need no reduction at
+    all — so the sharded engine's greedy output is bit-identical to the
+    unsharded int8 engine's (pinned by test_sharding.py).
+
+    int4 (ops/quant4.py) is NOT wired for TP: its matmul is a Pallas
+    custom call, which XLA SPMD cannot auto-partition — sharding it needs
+    an explicit shard_map wrapper (future work; single-chip serving point
+    for now)."""
+    specs = target_param_specs(cfg)
+
+    def q(spec: P) -> dict:
+        lead = tuple(spec[:-2])
+        return {"q8": spec, "scale": P(*lead, spec[-1])}
+
+    layers = dict(specs["layers"])
+    for k in _QUANT_KEYS:
+        if k in layers:
+            layers[k] = q(layers[k])
+    specs["layers"] = layers
+    if "lm_head" in specs:
+        specs["lm_head"] = q(specs["lm_head"])
+    return specs
+
+
 def draft_param_specs(dparams: dict) -> dict:
     """Draft head: fully replicated."""
     return jax.tree.map(lambda x: P(), dparams)

@@ -306,3 +306,33 @@ def test_train_step_zero_sharded_opt_state():
         else:
             replicated += 1
     assert sharded > 4  # every 2-D moment tensor (mu+nu per weight)
+
+
+def test_int8_target_engine_runs_sharded():
+    """int8-quantized target under TP=8: greedy output bit-identical to
+    the unsharded int8 engine (int32 partial-dot psums are exact, so TP
+    cannot perturb the quantized matmul — see
+    sharding.quantized_target_param_specs)."""
+    from eagle_tpu.ops.quant import quantize_target_params
+
+    cfg = tp_cfg()
+    dcfg = tiny_dcfg(3)
+    params = transformer.init_params(cfg, jax.random.PRNGKey(1))
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(2))
+    ecfg = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256)
+    qparams = quantize_target_params(params)
+
+    eng_ref = EagleEngine(qparams, cfg, dparams, dcfg, ecfg)
+    ref_v = eng_ref.generate_vanilla(PROMPT, max_new_tokens=24)
+    ref = eng_ref.generate(PROMPT, max_new_tokens=24)
+
+    mesh = shd.make_mesh(n_data=1, n_model=8)
+    qspecs = shd.quantized_target_param_specs(cfg)
+    qparams_s = shd.shard_params(qparams, mesh, qspecs)
+    dparams_s = shd.replicate(dparams, mesh)
+    eng = EagleEngine(qparams_s, cfg, dparams_s, dcfg, ecfg)
+    with jax.set_mesh(mesh):
+        out_v = eng.generate_vanilla(PROMPT, max_new_tokens=24)
+        out = eng.generate(PROMPT, max_new_tokens=24)
+    np.testing.assert_array_equal(out_v, ref_v)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
