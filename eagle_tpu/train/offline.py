@@ -52,6 +52,11 @@ class OfflineTrainConfig:
     noise: str = "uniform"       # "uniform" | "gaussian" | "none"
     noise_std: float = 0.2
     max_len: int = 2048
+    # quantization-aware training: run the draft forward through STE
+    # fake-quantized weights so the quantized-deployed head keeps its
+    # accuracy. False | True/"int8" | "int4" — same contract as
+    # ttt.TrainConfig.quant_aware.
+    quant_aware: object = False
 
 
 class OfflineMetrics(NamedTuple):
@@ -103,6 +108,12 @@ def offline_loss(dparams: dict, dcfg: DraftConfig, head_w: jnp.ndarray,
     feats = batch["feats"]
     if key is not None and ocfg.noise != "none":
         feats = add_feature_noise(key, feats, ocfg)
+    if ocfg.quant_aware == "int4":
+        from ..ops.quant4 import fake_quantize4_draft_params
+        dparams = fake_quantize4_draft_params(dparams)
+    elif ocfg.quant_aware:
+        from ..ops.quant import fake_quantize_draft_params
+        dparams = fake_quantize_draft_params(dparams)
     predict = draft_train_forward(dparams, dcfg, batch["input_ids"], feats,
                                   batch["pad_mask"])
     target = batch["target_feats"]

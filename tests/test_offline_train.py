@@ -141,3 +141,39 @@ def test_cli_offline_end_to_end(tmp_path):
     assert not rc
     assert (tmp_path / "ckpt").exists() and any(
         p.name.startswith("state_") for p in (tmp_path / "ckpt").iterdir())
+
+
+def test_offline_quant_aware_step(tmp_path):
+    """quant_aware='int4' (and int8) offline training steps run: finite
+    loss, params move after warmup — the QAT analog of the TTT trainer's
+    flag for int8/int4-deployed v1 heads."""
+    import pytest
+
+    cfg = tiny_cfg()
+    dcfg = tiny_dcfg(1)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    params = transformer.init_params(cfg, k1)
+    dparams = draft_mod.init_params(dcfg, k2)
+    dparams["embed"]["w"] = params["embed"]["w"]
+    rng = np.random.default_rng(0)
+    seqs = [{"input_ids": rng.integers(0, cfg.vocab_size, size=(24,)),
+             "loss_mask": np.ones(24)}]
+    offline.dump_features(params, cfg, seqs, str(tmp_path), batch_pad=8)
+    batch = next(iter(offline.load_feature_dataset(str(tmp_path))))
+
+    for qmode in ("int8", "int4"):
+        ocfg = offline.OfflineTrainConfig(lr=3e-3, warmup_steps=1,
+                                          total_steps=100, noise="none",
+                                          quant_aware=qmode)
+        opt = offline.make_optimizer(ocfg)
+        dp = dparams
+        trainable, _ = offline.partition_trainable(dp)
+        opt_state = opt.init(trainable)
+        key = jax.random.PRNGKey(1)
+        for _ in range(2):  # warmup starts at lr=0
+            dp, opt_state, m = offline.train_step(
+                dp, opt_state, params["lm_head"], dcfg, ocfg, opt,
+                batch, key)
+        assert np.isfinite(float(m.loss)), qmode
+        assert not np.array_equal(np.asarray(dp["fc"]["w"]),
+                                  np.asarray(dparams["fc"]["w"])), qmode
