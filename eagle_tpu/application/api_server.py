@@ -591,6 +591,15 @@ def main():  # pragma: no cover - requires real checkpoints
     ap.add_argument("--page-size", type=int, default=128)
     ap.add_argument("--prefill-chunk", type=int, default=256)
     ap.add_argument("--async-schedule", type=int, default=1)
+    ap.add_argument("--draft-quant", choices=["none", "int8", "int4"],
+                    default="none",
+                    help="weight-only draft quantization (lossless)")
+    ap.add_argument("--target-quant", choices=["none", "int8", "int4"],
+                    default="none",
+                    help="weight-only target quantization (serving "
+                         "operating point; int8 ~halves and int4 "
+                         "~quarters weight HBM — what fits an 8B target "
+                         "on one v5e chip)")
     ap.add_argument("--port", type=int, default=8000)
     args = ap.parse_args()
 
@@ -601,11 +610,18 @@ def main():  # pragma: no cover - requires real checkpoints
     dparams, dcfg = load_draft(args.ea_model_path,
                                version=3 if args.use_eagle3 else 1,
                                target_embed=params["embed"]["w"])
+    if args.target_quant == "int8":
+        from ..ops.quant import quantize_target_params
+        params = quantize_target_params(params)
+    elif args.target_quant == "int4":
+        from ..ops.quant4 import quantize_target_params4
+        params = quantize_target_params4(params)
     # total_token=-1 means serving-batch calibration, which happens in the
     # server (EagleServer total_tokens=-1); the engine needs a concrete tree
     ecfg = EngineConfig(
         total_tokens=60 if args.total_token == -1 else args.total_token,
-        depth=args.depth, top_k=args.top_k, max_len=args.max_len)
+        depth=args.depth, top_k=args.top_k, max_len=args.max_len,
+        draft_quant=args.draft_quant)
     engine = EagleEngine(params, cfg, dparams, dcfg, ecfg,
                          eos_token_id=tok.eos_token_id)
     fe = APIFrontend(

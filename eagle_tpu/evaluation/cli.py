@@ -45,6 +45,16 @@ def main(argv=None):
     ap.add_argument("--max-len", type=int, default=2048)
     ap.add_argument("--shard", type=int, default=0)
     ap.add_argument("--num-shards", type=int, default=1)
+    ap.add_argument("--draft-quant", choices=["none", "int8", "int4"],
+                    default="none",
+                    help="weight-only draft quantization (lossless; "
+                         "ops/quant.py, ops/quant4.py)")
+    ap.add_argument("--target-quant", choices=["none", "int8", "int4"],
+                    default="none",
+                    help="weight-only TARGET quantization — a serving "
+                         "operating point: outputs are bit-exact vs the "
+                         "quantized target's own vanilla decode, not the "
+                         "bf16 target's")
     args = ap.parse_args(argv)
 
     from transformers import AutoTokenizer
@@ -79,9 +89,16 @@ def main(argv=None):
                            head_dim=cfg.head_dim, vocab_size=cfg.vocab_size)
         dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(0))
 
+    if args.target_quant == "int8":
+        from ..ops.quant import quantize_target_params
+        params = quantize_target_params(params)
+    elif args.target_quant == "int4":
+        from ..ops.quant4 import quantize_target_params4
+        params = quantize_target_params4(params)
     ecfg = EngineConfig(total_tokens=args.total_token, depth=args.depth,
                         top_k=args.top_k, max_len=args.max_len,
-                        temperature=args.temperature)
+                        temperature=args.temperature,
+                        draft_quant=args.draft_quant)
     engine = EagleEngine(params, cfg, dparams, dcfg, ecfg,
                          eos_token_id=tok.eos_token_id)
 
