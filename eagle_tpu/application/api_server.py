@@ -94,13 +94,15 @@ class APIFrontend:
         self.counters = {
             "requests_total": 0,        # accepted submissions
             "requests_completed": 0,    # finished (eos/length/stop)
-            "requests_cancelled": 0,    # client disconnect / stop-cancel
+            "requests_cancelled": 0,    # client disconnect
+            "requests_failed": 0,       # killed by a server failure
             "requests_rejected": 0,     # validation errors at submit
             "prompt_tokens": 0,
             "completion_tokens": 0,
             "decode_steps": 0,          # scheduler steps across servers
             "server_errors": 0,
         }
+        # invariant: total == completed + cancelled + failed + in-flight
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -159,6 +161,7 @@ class APIFrontend:
         self.counters["server_errors"] += 1
         msg = f"internal scheduler error: {exc!r}"
         for key in [k for k in self._live if k[0] == sampled]:
+            self.counters["requests_failed"] += 1
             self._live.pop(key).events.put(("error", msg, 500))
 
     def _post(self, op: Callable):
@@ -323,6 +326,8 @@ class APIFrontend:
         metric("requests_cancelled_total", "counter",
                c["requests_cancelled"],
                "Requests cancelled by client disconnect")
+        metric("requests_failed_total", "counter", c["requests_failed"],
+               "Requests killed by a server failure")
         metric("requests_rejected_total", "counter",
                c["requests_rejected"],
                "Submissions rejected at validation")

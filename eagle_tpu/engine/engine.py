@@ -79,6 +79,11 @@ class EagleEngine:
         elif ecfg.draft_quant == "int4":
             from ..ops.quant4 import quantize_draft_params4
             dparams = quantize_draft_params4(dparams)
+        elif ecfg.draft_quant != "none":
+            # a typo here would silently benchmark/serve the bf16 draft
+            # while reporting a quantized operating point
+            raise ValueError(f"unknown draft_quant {ecfg.draft_quant!r} "
+                             f"(expected 'none' | 'int8' | 'int4')")
         self.dparams, self.dcfg = dparams, dcfg
         self.ecfg = ecfg
         if ecfg.tree_paths is not None:

@@ -2,12 +2,14 @@
 
 Decode-phase matmuls are weight-streaming-bound, so bytes/param sets the
 step time: bf16 = 2, int8 = 1, int4 = 0.5. This module stores weights as
-packed nibbles (two int4 per uint8) with GROUP-wise scales along the
+packed nibbles (eight int4 per little-endian i32 word — i32 streams HBM
+at the native DMA rate where uint8 pays a tiling penalty, see
+_pack_words) with GROUP-wise scales along the
 contraction axis (group_size=128 by default — per-channel int4 is too
 coarse; group-128 is the standard w4 operating point, cf. GPTQ/AWQ), and
 provides:
 
-  pack_w4(w)            float [K, N] -> {"q4": uint8 [K/2, N],
+  pack_w4(w)            float [K, N] -> {"q4": i32 words [K/8, N],
                                          "scale": f32 [K/group, N]}
   qdense4(x, qw)        x [.., K] @ w4 -> [.., N]; Pallas kernel on TPU,
                         XLA unpack fallback elsewhere
@@ -65,16 +67,47 @@ def _eff_group(K: int, group: int) -> int:
     return math.gcd(K // 2, group)
 
 
+def _k_of(qw: dict) -> int:
+    """Contraction size from the packed dict (8 nibbles per i32 word)."""
+    return 8 * qw["q4"].shape[-2]
+
+
 def _group_of(qw: dict) -> int:
     """Recover the group size from the packed dict's shapes (the scale
     tensor is [K/group, N]) — keeps the layout self-describing."""
-    return 2 * qw["q4"].shape[-2] // qw["scale"].shape[-2]
+    return _k_of(qw) // qw["scale"].shape[-2]
+
+
+def _pack_words(nib: jnp.ndarray) -> jnp.ndarray:
+    """Biased nibbles [K, N] uint8 -> int32 words [K/8, N].
+
+    Byte k of word j (little-endian) packs rows 4j+k of the two halves:
+    byte = nib[4j+k] | nib[4j+k + K/2] << 4. STORING int32 (not uint8)
+    matters on TPU: the HBM->VMEM DMA of a uint8 array runs through
+    (32,128) int8 tiling at reduced rate — i32 words stream at the native
+    rate (+13% end-to-end, tools/probe_w4_ablate.py i32_storage)."""
+    K, N = nib.shape
+    b = (nib[: K // 2] | (nib[K // 2:] << 4)).astype(jnp.int32)  # [K/2, N]
+    b = b.reshape(K // 8, 4, N)
+    return (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            | (b[:, 3] << 24)).astype(jnp.int32)
+
+
+def _unpack_nibbles_xla(p: jnp.ndarray):
+    """int32 words [K/8, N] -> (lo, hi) int8 [K/2, N] biased nibbles, in
+    plain XLA (mirrors the kernel's bitcast expansion order)."""
+    Kw, N = p.shape
+    bs = [(p >> (8 * i)) & 0xFF for i in range(4)]        # bytes, LE
+    b = jnp.stack(bs, axis=1).reshape(4 * Kw, N)          # [K/2, N]
+    return (b & 0xF).astype(jnp.int8), ((b >> 4) & 0xF).astype(jnp.int8)
 
 
 def pack_w4(w: jnp.ndarray, group: int = GROUP) -> dict:
-    """[K, N] float -> {"q4": uint8 [K/2, N], "scale": f32 [K/group, N]}.
+    """[K, N] float -> {"q4": int32 [K/8, N], "scale": f32 [K/group, N]}.
 
-    Symmetric per-(group, output-channel) scales; nibbles biased +8."""
+    Symmetric per-(group, output-channel) scales; nibbles biased +8,
+    half-split along K (low nibble = rows [0, K/2), high = [K/2, K)),
+    four bytes per little-endian i32 word (see _pack_words)."""
     K, N = w.shape
     group = _eff_group(K, group)
     wf = w.astype(jnp.float32).reshape(K // group, group, N)
@@ -82,20 +115,17 @@ def pack_w4(w: jnp.ndarray, group: int = GROUP) -> dict:
     scale = jnp.maximum(amax / 7.0, 1e-12)
     q = jnp.clip(jnp.round(wf / scale[:, None, :]), -7, 7)
     nib = (q + 8.0).astype(jnp.uint8).reshape(K, N)       # [1, 15]
-    lo, hi = nib[: K // 2], nib[K // 2:]
-    return {"q4": lo | (hi << 4), "scale": scale}
+    return {"q4": _pack_words(nib), "scale": scale}
 
 
 def unpack_w4(qw: dict, dtype=jnp.float32) -> jnp.ndarray:
     """Dequantize back to [K, N] float (reference path; materializes)."""
-    p = qw["q4"]
-    Kh, N = p.shape
-    lo = (p & 0xF).astype(jnp.int32) - 8
-    hi = (p >> 4).astype(jnp.int32) - 8
-    q = jnp.concatenate([lo, hi], axis=0)                 # [K, N]
+    lo, hi = _unpack_nibbles_xla(qw["q4"])
+    N = qw["q4"].shape[-1]
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.int32) - 8  # [K, N]
     scale = qw["scale"]
     return (q.reshape(scale.shape[0], -1, N)
-            * scale[:, None, :]).reshape(2 * Kh, N).astype(dtype)
+            * scale[:, None, :]).reshape(-1, N).astype(dtype)
 
 
 def _quantize_acts(x: jnp.ndarray):
@@ -119,14 +149,12 @@ def qdense4_xla(x: jnp.ndarray, qw: dict, b: Optional[jnp.ndarray] = None,
     """
     shape = x.shape
     K = shape[-1]
-    Kh, N = qw["q4"].shape
+    N = qw["q4"].shape[-1]
     group = _group_of(qw)
     G = K // group
     xq, sx = _quantize_acts(x.reshape(-1, K))
     M = xq.shape[0]
-    p = qw["q4"]
-    lo = (p & 0xF).astype(jnp.int8)                       # [K/2, N] 1..15
-    hi = ((p >> 4) & 0xF).astype(jnp.int8)
+    lo, hi = _unpack_nibbles_xla(qw["q4"])                # [K/2, N] 1..15
     nib = jnp.concatenate([lo, hi], axis=0)               # [K, N]
     # batched per-group dots: [G, M, g] x [G, g, N] -> [G, M, N]
     xg = jnp.transpose(xq.reshape(M, G, group), (1, 0, 2))
@@ -153,26 +181,25 @@ def _w4_kernel(xq_ref, rs_ref, p_ref, s_ref, out_ref, *, group: int,
     """One N-block: unpack nibbles, per-group int8 MXU dots with the -8
     zero-point folded into the precomputed rowsums.
 
-    Unpack runs on i32 lanes via bitcast — 4 bytes per op (Mosaic has no
-    8-bit shift, and widening each byte to its own i32 lane wastes 4x VPU
-    throughput, measured 30%->? of peak in tools/probe_int4.py). The
-    per-byte mask trick is byte-position-preserving, so it is independent
-    of how the bitcast packs bytes into words."""
+    Weights arrive as packed i32 words (see _pack_words — i32 streams HBM
+    at the native DMA rate where uint8 paid a tiling penalty). Unpack is
+    two mask ops on i32 lanes (4 bytes per op; Mosaic has no 8-bit shift)
+    and a bitcast expansion to int8 sublanes — nibble values are 0..15,
+    identical bits in int8, so no convert op is emitted."""
     from jax.experimental.pallas import tpu as pltpu
 
-    p = p_ref[:]                                          # [K/2, NB] uint8
+    p = p_ref[:]                                          # [K/8, NB] int32
     NB = p.shape[1]
     if interpret:
-        # the CPU interpreter lacks the TPU bitcast packing; plain widen
-        p32 = p.astype(jnp.int32)
-        lo = (p32 & 0xF).astype(jnp.int8)
-        hi = (p32 >> 4).astype(jnp.int8)
+        # the CPU interpreter lacks Mosaic's sublane-expanding bitcast;
+        # emulate the same little-endian byte order with shifts + reshape
+        bs = [(p >> (8 * i)) & 0xFF for i in range(4)]
+        b = jnp.stack(bs, axis=1).reshape(4 * p.shape[0], NB)
+        lo = (b & 0xF).astype(jnp.int8)
+        hi = ((b >> 4) & 0xF).astype(jnp.int8)
     else:
-        # nibble values are 0..15, identical bits as int8 — bitcast
-        # straight to int8 (no convert op)
-        w32 = pltpu.bitcast(p, jnp.int32)
-        lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.int8)
-        hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F, jnp.int8)
+        lo = pltpu.bitcast(p & 0x0F0F0F0F, jnp.int8)      # [K/2, NB]
+        hi = pltpu.bitcast((p >> 4) & 0x0F0F0F0F, jnp.int8)
     xq = xq_ref[:]                                        # [M, K] int8
     acc = jnp.zeros((xq.shape[0], NB), jnp.float32)
     for g in range(2 * half_groups):
@@ -201,14 +228,14 @@ def _qdense4_pallas_2d(xq, rowsums, q4, scale, group: int = GROUP,
     from jax.experimental.pallas import tpu as pltpu
 
     M, K = xq.shape
-    Kh, N = q4.shape
+    Kw, N = q4.shape
     G = K // group
     # Block size: bigger N blocks amortize per-grid-step overhead
     # (measured: 38% -> 47% of peak going 256 -> 1024 at K=4096,
     # tools/probe_w4_ablate.py), but VMEM holds packed (x2 pipeline
     # buffers) + both unpacked planes ~= 4 * (K/2 * bn) bytes — cap that
     # at ~8 MB. Must divide N; last resort one (possibly unaligned) block.
-    budget = max(128, min(block_n, (2 << 20) // Kh // 128 * 128))
+    budget = max(128, min(block_n, (2 << 20) // (K // 2) // 128 * 128))
     bn = next((c for c in (budget, 512, 256, 128) if c <= budget
                and N % c == 0), N)
     # M arrives padded to a multiple of 32; use the largest block <= 128
@@ -225,7 +252,7 @@ def _qdense4_pallas_2d(xq, rowsums, q4, scale, group: int = GROUP,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, G), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kh, bn), lambda j, i: (0, j),
+            pl.BlockSpec((Kw, bn), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, bn), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
@@ -241,7 +268,7 @@ def _qdense4_core(x2d, q4, scale, *, interpret: bool):
     """[M, K] float @ packed int4 -> [M, N] f32 (activation-quantized,
     kernel-backed). Rows are independent and numerically M-invariant."""
     K = x2d.shape[-1]
-    group = 2 * q4.shape[-2] // scale.shape[-2]
+    group = 8 * q4.shape[-2] // scale.shape[-2]
     G = K // group
     xq, sx = _quantize_acts(x2d)
     M = xq.shape[0]
@@ -318,12 +345,12 @@ def qdense4(x: jnp.ndarray, qw: dict, b: Optional[jnp.ndarray] = None,
 # Tree-level conversion (mirrors ops/quant.py coverage exactly)
 # ---------------------------------------------------------------------------
 
-_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+from .quant import _QUANT_KEYS  # single source of quantizable-leaf names
 
 
 def _packable(w, group: int) -> bool:
     K = w.shape[-2]
-    return K % 2 == 0  # group auto-adapts via _eff_group (gcd)
+    return K % 8 == 0  # 8 nibbles/word; group auto-adapts via _eff_group
 
 
 def quantize_draft_params4(dparams: dict, group: int = GROUP) -> dict:
@@ -363,8 +390,12 @@ def _pack_w4_host(w, group: int = GROUP) -> dict:
     scale = np.maximum(amax / 7.0, 1e-12).astype(np.float32)
     q = np.clip(np.round(wg / scale[..., None, :]), -7, 7)
     nib = (q + 8.0).astype(np.uint8).reshape(lead + (K, N))
-    lo, hi = nib[..., : K // 2, :], nib[..., K // 2:, :]
-    return {"q4": lo | (hi << 4), "scale": scale}
+    b = (nib[..., : K // 2, :]
+         | (nib[..., K // 2:, :] << 4)).astype(np.int32)
+    b = b.reshape(lead + (K // 8, 4, N))
+    words = (b[..., 0, :] | (b[..., 1, :] << 8) | (b[..., 2, :] << 16)
+             | (b[..., 3, :] << 24)).astype(np.int32)
+    return {"q4": words, "scale": scale}
 
 
 def quantize_target_params4(params: dict, group: int = GROUP) -> dict:

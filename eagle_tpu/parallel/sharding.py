@@ -83,9 +83,6 @@ def target_param_specs(cfg: ModelConfig) -> dict:
     return specs
 
 
-_QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
-
-
 def quantized_target_param_specs(cfg: ModelConfig) -> dict:
     """target_param_specs for an int8-quantized target tree
     (ops/quant.quantize_target_params leaf structure: the seven layer
@@ -102,6 +99,8 @@ def quantized_target_param_specs(cfg: ModelConfig) -> dict:
     custom call, which XLA SPMD cannot auto-partition — sharding it needs
     an explicit shard_map wrapper (future work; single-chip serving point
     for now)."""
+    from ..ops.quant import _QUANT_KEYS
+
     specs = target_param_specs(cfg)
 
     def q(spec: P) -> dict:

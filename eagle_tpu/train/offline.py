@@ -111,9 +111,11 @@ def offline_loss(dparams: dict, dcfg: DraftConfig, head_w: jnp.ndarray,
     if ocfg.quant_aware == "int4":
         from ..ops.quant4 import fake_quantize4_draft_params
         dparams = fake_quantize4_draft_params(dparams)
-    elif ocfg.quant_aware:
+    elif ocfg.quant_aware in (True, "int8"):
         from ..ops.quant import fake_quantize_draft_params
         dparams = fake_quantize_draft_params(dparams)
+    elif ocfg.quant_aware:  # typo -> would silently train int8 QAT
+        raise ValueError(f"unknown quant_aware {ocfg.quant_aware!r}")
     predict = draft_train_forward(dparams, dcfg, batch["input_ids"], feats,
                                   batch["pad_mask"])
     target = batch["target_feats"]

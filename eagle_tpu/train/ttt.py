@@ -273,9 +273,11 @@ def train_step(dparams: dict, opt_state, target_params: dict,
         if tcfg.quant_aware == "int4":
             from ..ops.quant4 import fake_quantize4_draft_params
             dp = fake_quantize4_draft_params(dp)
-        elif tcfg.quant_aware:
+        elif tcfg.quant_aware in (True, "int8"):
             from ..ops.quant import fake_quantize_draft_params
             dp = fake_quantize_draft_params(dp)
+        elif tcfg.quant_aware:  # typo -> would silently train int8 QAT
+            raise ValueError(f"unknown quant_aware {tcfg.quant_aware!r}")
         m = ttt_forward(dp, dcfg, taps, ids, tgt, lmask,
                         batch["pad_mask"], tcfg)
         return m.loss, m

@@ -21,7 +21,7 @@ def test_pack_roundtrip_error_bound():
     rng = np.random.default_rng(0)
     w = rng.normal(size=(512, 384)).astype(np.float32) * 0.05
     qw = quant4.pack_w4(jnp.asarray(w))
-    assert qw["q4"].dtype == jnp.uint8 and qw["q4"].shape == (256, 384)
+    assert qw["q4"].dtype == jnp.int32 and qw["q4"].shape == (64, 384)
     assert qw["scale"].shape == (512 // quant4.GROUP, 384)
     dq = np.asarray(quant4.unpack_w4(qw))
     half_step = np.asarray(qw["scale"]).repeat(quant4.GROUP, axis=0) / 2
@@ -101,9 +101,9 @@ def test_quantize_draft_params4_structure():
     dcfg = tiny_dcfg(3)
     dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(0))
     qp = quant4.quantize_draft_params4(dparams)
-    assert qp["layers"][0]["wq"]["q4"].dtype == jnp.uint8
-    assert qp["lm_head"]["q4"].dtype == jnp.uint8
-    assert qp["fc"]["w"]["q4"].dtype == jnp.uint8
+    assert qp["layers"][0]["wq"]["q4"].dtype == jnp.int32
+    assert qp["lm_head"]["q4"].dtype == jnp.int32
+    assert qp["fc"]["w"]["q4"].dtype == jnp.int32
     assert qp["embed"]["w"].dtype == dparams["embed"]["w"].dtype
     assert qp["norm"].dtype == dparams["norm"].dtype
 

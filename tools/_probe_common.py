@@ -63,15 +63,20 @@ def timed(fn, n=3):
     return best
 
 
-def device_int8_params_4b(seed=0):
-    """Random int8-quantized 4B target tree, built directly on device.
+def device_quant_tree(bits: int, dims=None, seed=0, group=128):
+    """Random quantized target tree built directly on device.
 
-    Leaf structure matches ops/quant.quantize_target_params exactly
-    ({"q8": int8 [..., in, out], "scale": f32 [..., out]} for the seven
-    layer projections + lm_head; embed/norms bf16) so the engine's qdense
-    path runs unchanged. Scales put effective weight std ≈ 0.02 (the
-    init_params scale) — values only need to be finite, not meaningful.
+    Leaf structure matches ops/quant.quantize_target_params (bits=8:
+    {"q8": int8 [..., K, N], "scale": f32 [..., N]}) or
+    ops/quant4.quantize_target_params4 (bits=4: {"q4": i32 words
+    [..., K/8, N], "scale": f32 [..., K/group, N]}) for the seven layer
+    projections + lm_head; embed/norms bf16 — so the engine's quantized
+    matmul paths run unchanged. Scales put effective weight std ~= 0.02
+    (int8 uniform std ~= 73; nibble-8 uniform std ~= 4.3) — values only
+    need to be finite, not meaningful. `dims` = (H, L, F, NQ, NKV, D, V),
+    default the 4B flagship.
     """
+    h, l, f, nq, nkv, d, v = dims or (H, L, F, NQ, NKV, D, V)
     key = jax.random.PRNGKey(seed)
     ks = iter(jax.random.split(key, 16))
 
@@ -80,61 +85,40 @@ def device_int8_params_4b(seed=0):
         scale = jnp.full(shape[:-2] + (shape[-1],), 0.02 / 73.0, jnp.float32)
         return {"q8": q, "scale": scale}
 
-    params = {
-        "embed": {"w": jax.random.normal(next(ks), (V, H), jnp.bfloat16)
-                  * 0.02},
-        "layers": {
-            "ln1": jnp.ones((L, H), jnp.bfloat16),
-            "ln2": jnp.ones((L, H), jnp.bfloat16),
-            "wq": q8(L, H, NQ * D), "wk": q8(L, H, NKV * D),
-            "wv": q8(L, H, NKV * D), "wo": q8(L, NQ * D, H),
-            "w_gate": q8(L, H, F), "w_up": q8(L, H, F),
-            "w_down": q8(L, F, H),
-        },
-        "final_norm": jnp.ones((H,), jnp.bfloat16),
-        "lm_head": q8(H, V),
-    }
-    params["lm_head"]["scale"] = params["lm_head"]["scale"] * 8.0
-    jax.block_until_ready(params)
-    return params
-
-
-def device_int4_params_4b(seed=0, group=128):
-    """Random packed-int4 4B target tree, built directly on device.
-
-    Leaf structure matches ops/quant4.quantize_target_params4 ({"q4":
-    uint8 [..., K/2, N], "scale": f32 [..., K/group, N]} for the seven
-    layer projections + lm_head; embed/norms bf16). Scales put effective
-    weight std ~= 0.02 (nibbles-8 are ~uniform in [-7, 7], std ~= 4.3).
-    """
-    key = jax.random.PRNGKey(seed)
-    ks = iter(jax.random.split(key, 16))
-
     def q4(*shape):
         K, N = shape[-2], shape[-1]
-        q = jax.random.randint(next(ks), shape[:-2] + (K // 2, N),
-                               0, 256, jnp.int32).astype(jnp.uint8)
+        q = jax.random.randint(next(ks), shape[:-2] + (K // 8, N),
+                               -2**31, 2**31 - 1, jnp.int32)
         scale = jnp.full(shape[:-2] + (K // group, N), 0.02 / 4.3,
                          jnp.float32)
         return {"q4": q, "scale": scale}
 
+    qw = q8 if bits == 8 else q4
     params = {
-        "embed": {"w": jax.random.normal(next(ks), (V, H), jnp.bfloat16)
+        "embed": {"w": jax.random.normal(next(ks), (v, h), jnp.bfloat16)
                   * 0.02},
         "layers": {
-            "ln1": jnp.ones((L, H), jnp.bfloat16),
-            "ln2": jnp.ones((L, H), jnp.bfloat16),
-            "wq": q4(L, H, NQ * D), "wk": q4(L, H, NKV * D),
-            "wv": q4(L, H, NKV * D), "wo": q4(L, NQ * D, H),
-            "w_gate": q4(L, H, F), "w_up": q4(L, H, F),
-            "w_down": q4(L, F, H),
+            "ln1": jnp.ones((l, h), jnp.bfloat16),
+            "ln2": jnp.ones((l, h), jnp.bfloat16),
+            "wq": qw(l, h, nq * d), "wk": qw(l, h, nkv * d),
+            "wv": qw(l, h, nkv * d), "wo": qw(l, nq * d, h),
+            "w_gate": qw(l, h, f), "w_up": qw(l, h, f),
+            "w_down": qw(l, f, h),
         },
-        "final_norm": jnp.ones((H,), jnp.bfloat16),
-        "lm_head": q4(H, V),
+        "final_norm": jnp.ones((h,), jnp.bfloat16),
+        "lm_head": qw(h, v),
     }
     params["lm_head"]["scale"] = params["lm_head"]["scale"] * 8.0
     jax.block_until_ready(params)
     return params
+
+
+def device_int8_params_4b(seed=0):
+    return device_quant_tree(8, seed=seed)
+
+
+def device_int4_params_4b(seed=0, group=128):
+    return device_quant_tree(4, seed=seed, group=group)
 
 
 def batched_round_ms(eng, V_, B, lo=16, hi=112, seed=0):
@@ -145,11 +129,14 @@ def batched_round_ms(eng, V_, B, lo=16, hi=112, seed=0):
     prompts = [rng.integers(0, V_, size=16).astype(np.int32)
                for _ in range(B)]
 
+    rounds = {}
+
     def run(budget):
-        return retry(lambda: eng.generate_batch_fused(
+        out = retry(lambda: eng.generate_batch_fused(
             prompts, max_new_tokens=budget, log=True))
+        rounds[budget] = out[2]  # stash from the timed runs themselves
+        return out
 
     t_lo = timed(lambda: run(lo), n=2)
     t_hi = timed(lambda: run(hi), n=2)
-    r_lo, r_hi = run(lo)[2], run(hi)[2]
-    return 1e3 * (t_hi - t_lo) / max(r_hi - r_lo, 1)
+    return 1e3 * (t_hi - t_lo) / max(rounds[hi] - rounds[lo], 1)

@@ -11,7 +11,10 @@ reduced draft vocab) and prices vanilla decode + the speculative round.
 Round/step TIME is weight-value-independent, so random weights measure
 what a real checkpoint would.
 
-Run: python tools/bench_8b_quant.py   (real TPU)
+Run (one bits-width per process — the tunnel's lagging server-side frees
+make back-to-back 8.5 GB + 4.8 GB trees in one process OOM):
+    python tools/bench_8b_quant.py 8
+    python tools/bench_8b_quant.py 4
 """
 import os
 import sys
@@ -44,46 +47,15 @@ DCFG = DraftConfig(version=3, hidden_size=H, intermediate_size=F,
 
 
 def build_quant_target(bits: int, seed=0):
-    key = jax.random.PRNGKey(seed)
-    ks = iter(jax.random.split(key, 16))
-
-    def q8(*shape):
-        q = jax.random.randint(next(ks), shape, -127, 128, jnp.int8)
-        scale = jnp.full(shape[:-2] + (shape[-1],), 0.02 / 73.0, jnp.float32)
-        return {"q8": q, "scale": scale}
-
-    def q4(*shape):
-        K, N = shape[-2], shape[-1]
-        q = jax.random.randint(next(ks), shape[:-2] + (K // 2, N),
-                               0, 256, jnp.int32).astype(jnp.uint8)
-        scale = jnp.full(shape[:-2] + (K // 128, N), 0.02 / 4.3, jnp.float32)
-        return {"q4": q, "scale": scale}
-
-    qw = q8 if bits == 8 else q4
-    params = {
-        "embed": {"w": jax.random.normal(next(ks), (V, H), jnp.bfloat16)
-                  * 0.02},
-        "layers": {
-            "ln1": jnp.ones((L, H), jnp.bfloat16),
-            "ln2": jnp.ones((L, H), jnp.bfloat16),
-            "wq": qw(L, H, NQ * D), "wk": qw(L, H, NKV * D),
-            "wv": qw(L, H, NKV * D), "wo": qw(L, NQ * D, H),
-            "w_gate": qw(L, H, F), "w_up": qw(L, H, F),
-            "w_down": qw(L, F, H),
-        },
-        "final_norm": jnp.ones((H,), jnp.bfloat16),
-        "lm_head": qw(H, V),
-    }
-    sk = "scale"
-    params["lm_head"][sk] = params["lm_head"][sk] * 8.0
-    jax.block_until_ready(params)
-    return params
+    from _probe_common import device_quant_tree
+    return device_quant_tree(bits, dims=(H, L, F, NQ, NKV, D, V), seed=seed)
 
 
 def main():
     prompt = np.random.default_rng(0).integers(0, V, size=16).astype(np.int32)
     LO, HI = 16, 112
-    for bits, dq in ((8, "int8"), (4, "int4")):
+    which = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    for bits, dq in [(which, f"int{which}")]:
         t = time.time()
         qparams = build_quant_target(bits)
         qbytes = sum(x.size * x.dtype.itemsize

@@ -38,6 +38,11 @@ def make_kernel(mode, group):
         if mode == "no_unpack":
             lo = p.astype(jnp.int8)
             hi = lo
+        elif mode == "i32_storage":
+            # packed words arrive as int32 [K/8, NB] (native i32 DMA
+            # tiling); unpack straight from the words
+            lo = pltpu.bitcast(p & 0x0F0F0F0F, jnp.int8)     # [K/2, NB]
+            hi = pltpu.bitcast((p >> 4) & 0x0F0F0F0F, jnp.int8)
         else:
             w32 = pltpu.bitcast(p, jnp.int32)
             lo = pltpu.bitcast(w32 & 0x0F0F0F0F, jnp.uint8).astype(jnp.int8)
@@ -93,6 +98,8 @@ def make_kernel(mode, group):
 def run_mode(mode, group=GROUP, block_n=256, parallel=False):
     G = K // group
     kern = make_kernel(mode, group)
+    p_rows = K // 8 if mode == "i32_storage" else K // 2
+    p_dtype = jnp.int32 if mode == "i32_storage" else jnp.uint8
     cp = (pltpu.CompilerParams(dimension_semantics=("parallel",))
           if parallel else None)
 
@@ -109,7 +116,7 @@ def run_mode(mode, group=GROUP, block_n=256, parallel=False):
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((M, G), lambda j: (0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((K // 2, block_n), lambda j: (0, j),
+                    pl.BlockSpec((p_rows, block_n), lambda j: (0, j),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((G, block_n), lambda j: (0, j),
                                  memory_space=pltpu.VMEM),
@@ -126,8 +133,12 @@ def run_mode(mode, group=GROUP, block_n=256, parallel=False):
         return c
 
     key = jax.random.PRNGKey(0)
-    bank_p = jax.random.randint(key, (S, K // 2, N), 0, 255,
-                                jnp.int32).astype(jnp.uint8)
+    if mode == "i32_storage":
+        bank_p = jax.random.randint(key, (S, K // 8, N), -2**31, 2**31 - 1,
+                                    jnp.int32)
+    else:
+        bank_p = jax.random.randint(key, (S, K // 2, N), 0, 255,
+                                    jnp.int32).astype(jnp.uint8)
     bank_s = jnp.full((S, G, N), 1e-3, jnp.float32)
     xq = jax.random.randint(key, (M, K), -127, 127, jnp.int32
                             ).astype(jnp.int8)
@@ -151,10 +162,6 @@ def run_mode(mode, group=GROUP, block_n=256, parallel=False):
 
 if __name__ == "__main__":
     print(f"[ablate] S={S} K={K} N={N} M={M}", flush=True)
-    for mode in ("full", "no_unpack", "one_dot", "bf16_dots",
-                 "one_dot_bf16"):
+    for mode in ("full", "i32_storage", "no_unpack"):
         run_mode(mode)
-    run_mode("full", parallel=True)
-    run_mode("bf16_dots", parallel=True)
-    run_mode("bf16_dots", block_n=1024)
-    run_mode("full", block_n=1024)
+        run_mode(mode, block_n=1024)
