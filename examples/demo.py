@@ -85,6 +85,27 @@ def main():
           f"(tiny-model timings are dispatch-bound; see bench.py for real "
           f"hardware numbers)")
 
+    print("\n== int4 draft quantization (lossless: outputs unchanged)")
+    ecfg_q = EngineConfig(total_tokens=23, depth=4, top_k=5, max_len=512,
+                          draft_quant="int4")
+    eng_q = EagleEngine(params, cfg, dparams, dcfg, ecfg_q)
+    out_q, ntok_q, rounds_q = eng_q.generate(prompt, max_new_tokens=40,
+                                             log=True)
+    assert np.array_equal(out_q[: len(ref)], ref[: len(out_q)]), "MISMATCH!"
+    print(f"   match ✓  τ = {ntok_q / rounds_q:.2f} tokens/round with the "
+          f"w4a8 draft (quantizing the PROPOSER can lower τ, never change "
+          f"outputs)")
+
+    print("\n== int8 target quantization (serving operating point)")
+    from eagle_tpu.ops.quant import quantize_target_params
+    qparams = quantize_target_params(params)
+    eng_t = EagleEngine(qparams, cfg, dparams, dcfg, ecfg)
+    ref_t = eng_t.generate_vanilla(prompt, max_new_tokens=30)
+    out_t = eng_t.generate(prompt, max_new_tokens=30)
+    assert np.array_equal(out_t[: len(ref_t)], ref_t[: len(out_t)])
+    print("   match ✓  speculative == the int8 target's own vanilla decode "
+          "(a different model than bf16, internally bit-exact)")
+
     print("\n== sampled generation (temperature 0.8, lossless)")
     ecfg_s = EngineConfig(total_tokens=23, depth=4, top_k=5, max_len=512,
                           temperature=0.8)
