@@ -199,3 +199,17 @@ def test_int4_draft_batched_matches_singles():
     outs = eng.generate_batch_fused(prompts, max_new_tokens=16)
     for o, s in zip(outs, singles):
         np.testing.assert_array_equal(o, s)
+
+
+def test_int4_draft_sampled_generation_runs():
+    """Sampled decoding with an int4 draft: the rejection rule is valid
+    for ANY proposal distribution, so a quantized q(x) stays lossless by
+    construction — this pins that the sampled path runs and produces
+    in-vocab tokens with seed-dependent variety."""
+    eng = make_engine(3, temperature=0.9, top_p=0.9, draft_quant="int4")
+    out, new_tok, rounds = eng.generate(PROMPT, max_new_tokens=24,
+                                        log=True, seed=7)
+    assert new_tok == 24 and rounds >= 1
+    assert np.all(out >= 0) and np.all(out < eng.cfg.vocab_size)
+    out2 = eng.generate(PROMPT, max_new_tokens=24, seed=8)
+    assert not np.array_equal(out, out2)
