@@ -40,7 +40,9 @@ def _rand_cfgs(seed):
     depth = int(rng.choice([1, 2, 4]))
     total = int(rng.integers(depth, min(depth * k * 2, k + depth * k * k)))
     ecfg = EngineConfig(total_tokens=total, depth=depth, top_k=k,
-                        max_len=192)
+                        max_len=192,
+                        draft_quant=str(rng.choice(["none", "int8",
+                                                    "int4"])))
     return cfg, dcfg, ecfg
 
 
