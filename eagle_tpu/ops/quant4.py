@@ -234,10 +234,12 @@ def _qdense4_pallas_2d(xq, rowsums, q4, scale, group: int = GROUP,
     # (measured: 38% -> 47% of peak going 256 -> 1024 at K=4096,
     # tools/probe_w4_ablate.py), but VMEM holds packed (x2 pipeline
     # buffers) + both unpacked planes ~= 4 * (K/2 * bn) bytes — cap that
-    # at ~8 MB. Must divide N; last resort one (possibly unaligned) block.
-    budget = max(128, min(block_n, (2 << 20) // (K // 2) // 128 * 128))
-    bn = next((c for c in (budget, 512, 256, 128) if c <= budget
-               and N % c == 0), N)
+    # at ~8 MB. The grid is ceil-divided: Pallas masks the ragged edge
+    # block itself, so N need NOT divide bn (a divisibility requirement
+    # here forced the 32000-wide draft lm_head down to bn=256 -> 125 grid
+    # steps -> ~10x the streaming ideal per scoring call; found by
+    # tools/profile_round.py).
+    bn = max(128, min(block_n, (2 << 20) // (K // 2) // 128 * 128, N))
     # M arrives padded to a multiple of 32; use the largest block <= 128
     # that divides it (verify rounds are M=64 — padding them to 128 would
     # double the MXU/VPU work of the whole verify forward)
@@ -246,7 +248,7 @@ def _qdense4_pallas_2d(xq, rowsums, q4, scale, group: int = GROUP,
                                half_groups=G // 2, interpret=interpret)
     return pl.pallas_call(
         kernel,
-        grid=(N // bn, M // bm),
+        grid=(pl.cdiv(N, bn), M // bm),
         in_specs=[
             pl.BlockSpec((bm, K), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
