@@ -56,6 +56,9 @@ def qdense(x: jnp.ndarray, qw: dict, b: Optional[jnp.ndarray] = None,
 
 
 _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+# drafts may carry fused projections (models/draft.fuse_projections);
+# per-output-column scales make quantize(concat) == concat(quantize)
+_DRAFT_QUANT_KEYS = _QUANT_KEYS + ("wqkv", "wgu")
 
 
 def quantize_draft_params(dparams: dict) -> dict:
@@ -66,7 +69,7 @@ def quantize_draft_params(dparams: dict) -> dict:
     layers = []
     for lp in dparams["layers"]:
         nlp = dict(lp)
-        for k in _QUANT_KEYS:
+        for k in _DRAFT_QUANT_KEYS:
             if k in nlp:
                 nlp[k] = quantize_linear(nlp[k])
         layers.append(nlp)

@@ -67,15 +67,26 @@ def _eff_group(K: int, group: int) -> int:
     return math.gcd(K // 2, group)
 
 
+def _blocks_of(q4: jnp.ndarray) -> int:
+    """Block count from the packed tensor's rank: 2-D [K/8, N] is the
+    single-block layout; 3-D [blocks, K/(8·blocks), N] is the
+    tensor-parallel layout (leading axis shardable over the mesh)."""
+    return 1 if q4.ndim == 2 else q4.shape[0]
+
+
 def _k_of(qw: dict) -> int:
     """Contraction size from the packed dict (8 nibbles per i32 word)."""
-    return 8 * qw["q4"].shape[-2]
+    q4 = qw["q4"]
+    return 8 * q4.shape[-2] * _blocks_of(q4)
 
 
 def _group_of(qw: dict) -> int:
     """Recover the group size from the packed dict's shapes (the scale
-    tensor is [K/group, N]) — keeps the layout self-describing."""
-    return _k_of(qw) // qw["scale"].shape[-2]
+    tensor is [K/group, N], block-split like q4) — keeps the layout
+    self-describing."""
+    scale = qw["scale"]
+    groups = scale.shape[-2] * (1 if scale.ndim == 2 else scale.shape[0])
+    return _k_of(qw) // groups
 
 
 def _pack_words(nib: jnp.ndarray) -> jnp.ndarray:
@@ -102,28 +113,57 @@ def _unpack_nibbles_xla(p: jnp.ndarray):
     return (b & 0xF).astype(jnp.int8), ((b >> 4) & 0xF).astype(jnp.int8)
 
 
-def pack_w4(w: jnp.ndarray, group: int = GROUP) -> dict:
+def pack_w4(w: jnp.ndarray, group: int = GROUP, blocks: int = 1) -> dict:
     """[K, N] float -> {"q4": int32 [K/8, N], "scale": f32 [K/group, N]}.
 
     Symmetric per-(group, output-channel) scales; nibbles biased +8,
     half-split along K (low nibble = rows [0, K/2), high = [K/2, K)),
-    four bytes per little-endian i32 word (see _pack_words)."""
+    four bytes per little-endian i32 word (see _pack_words).
+
+    blocks > 1 emits the tensor-parallel layout: q4 [blocks, K/(8b), N] /
+    scale [blocks, K/(b·group), N], where each leading-axis slice is a
+    self-contained half-split packing of a CONTIGUOUS K range — so
+    sharding the block axis over the mesh gives every shard a standalone
+    valid layout whose activation slice is contiguous (Megatron
+    row-parallel: local kernel + one psum). The group accumulation order
+    stays K-sequential for any block count, so blocks=1 and blocks=t are
+    bit-identical unsharded."""
     K, N = w.shape
-    group = _eff_group(K, group)
+    if K % (8 * blocks):
+        raise ValueError(f"int4 packing needs 8*blocks={8*blocks} | K={K}")
+    Kb = K // blocks
+    group = _eff_group(Kb, group)
     wf = w.astype(jnp.float32).reshape(K // group, group, N)
     amax = jnp.max(jnp.abs(wf), axis=1)                   # [K/g, N]
     scale = jnp.maximum(amax / 7.0, 1e-12)
     q = jnp.clip(jnp.round(wf / scale[:, None, :]), -7, 7)
     nib = (q + 8.0).astype(jnp.uint8).reshape(K, N)       # [1, 15]
-    return {"q4": _pack_words(nib), "scale": scale}
+    if blocks == 1:
+        return {"q4": _pack_words(nib), "scale": scale}
+    nib_b = nib.reshape(blocks, Kb, N)
+    by = (nib_b[:, : Kb // 2] | (nib_b[:, Kb // 2:] << 4)).astype(jnp.int32)
+    by = by.reshape(blocks, Kb // 8, 4, N)
+    words = (by[:, :, 0] | (by[:, :, 1] << 8) | (by[:, :, 2] << 16)
+             | (by[:, :, 3] << 24)).astype(jnp.int32)
+    return {"q4": words, "scale": scale.reshape(blocks, -1, N)}
+
+
+def _nibbles_korder(q4: jnp.ndarray) -> jnp.ndarray:
+    """Packed words (2-D or blocked 3-D) -> biased nibbles [K, N] int8 in
+    K order (per block: low half rows then high half rows)."""
+    blocks = _blocks_of(q4)
+    N = q4.shape[-1]
+    lo, hi = _unpack_nibbles_xla(q4.reshape(-1, N))       # [K/2, N] each
+    lo = lo.reshape(blocks, -1, N)
+    hi = hi.reshape(blocks, -1, N)
+    return jnp.concatenate([lo, hi], axis=1).reshape(-1, N)
 
 
 def unpack_w4(qw: dict, dtype=jnp.float32) -> jnp.ndarray:
     """Dequantize back to [K, N] float (reference path; materializes)."""
-    lo, hi = _unpack_nibbles_xla(qw["q4"])
     N = qw["q4"].shape[-1]
-    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.int32) - 8  # [K, N]
-    scale = qw["scale"]
+    q = _nibbles_korder(qw["q4"]).astype(jnp.int32) - 8   # [K, N]
+    scale = qw["scale"].reshape(-1, N)                    # K-ordered groups
     return (q.reshape(scale.shape[0], -1, N)
             * scale[:, None, :]).reshape(-1, N).astype(dtype)
 
@@ -154,8 +194,7 @@ def qdense4_xla(x: jnp.ndarray, qw: dict, b: Optional[jnp.ndarray] = None,
     G = K // group
     xq, sx = _quantize_acts(x.reshape(-1, K))
     M = xq.shape[0]
-    lo, hi = _unpack_nibbles_xla(qw["q4"])                # [K/2, N] 1..15
-    nib = jnp.concatenate([lo, hi], axis=0)               # [K, N]
+    nib = _nibbles_korder(qw["q4"])                       # [K, N] 1..15
     # batched per-group dots: [G, M, g] x [G, g, N] -> [G, M, N]
     xg = jnp.transpose(xq.reshape(M, G, group), (1, 0, 2))
     wg = nib.reshape(G, group, N)
@@ -165,7 +204,8 @@ def qdense4_xla(x: jnp.ndarray, qw: dict, b: Optional[jnp.ndarray] = None,
     rowsum = jnp.sum(xg.astype(jnp.int32), axis=2)        # [G, M]
     corr = acc - 8 * rowsum[:, :, None]
     y = jnp.sum(corr.astype(jnp.float32)
-                * qw["scale"].astype(jnp.float32)[:, None, :], axis=0)
+                * qw["scale"].astype(jnp.float32).reshape(G, N)[:, None, :],
+                axis=0)
     y = (y * sx).astype(out_dtype or x.dtype).reshape(shape[:-1] + (N,))
     if b is not None:
         y = y + b.astype(y.dtype)
@@ -177,7 +217,7 @@ def qdense4_xla(x: jnp.ndarray, qw: dict, b: Optional[jnp.ndarray] = None,
 # ---------------------------------------------------------------------------
 
 def _w4_kernel(xq_ref, rs_ref, p_ref, s_ref, out_ref, *, group: int,
-               half_groups: int, interpret: bool = False):
+               blocks: int, interpret: bool = False):
     """One N-block: unpack nibbles, per-group int8 MXU dots with the -8
     zero-point folded into the precomputed rowsums.
 
@@ -185,7 +225,12 @@ def _w4_kernel(xq_ref, rs_ref, p_ref, s_ref, out_ref, *, group: int,
     at the native DMA rate where uint8 paid a tiling penalty). Unpack is
     two mask ops on i32 lanes (4 bytes per op; Mosaic has no 8-bit shift)
     and a bitcast expansion to int8 sublanes — nibble values are 0..15,
-    identical bits in int8, so no convert op is emitted."""
+    identical bits in int8, so no convert op is emitted.
+
+    `blocks` describes the TP packing layout (pack_w4 blocks=t flattened
+    along the word axis): unpacked plane rows [b*Kb/2, (b+1)*Kb/2) hold
+    block b's low/high half rows. The group loop visits groups in K order
+    for ANY block count, so all layouts produce bit-identical f32 sums."""
     from jax.experimental.pallas import tpu as pltpu
 
     p = p_ref[:]                                          # [K/8, NB] int32
@@ -201,23 +246,33 @@ def _w4_kernel(xq_ref, rs_ref, p_ref, s_ref, out_ref, *, group: int,
         lo = pltpu.bitcast(p & 0x0F0F0F0F, jnp.int8)      # [K/2, NB]
         hi = pltpu.bitcast((p >> 4) & 0x0F0F0F0F, jnp.int8)
     xq = xq_ref[:]                                        # [M, K] int8
+    K = xq.shape[1]
+    Kb = K // blocks                                      # rows per block
+    hgb = Kb // 2 // group                                # half-groups/block
     acc = jnp.zeros((xq.shape[0], NB), jnp.float32)
-    for g in range(2 * half_groups):
-        plane = lo if g < half_groups else hi
-        r0 = (g % half_groups) * group
-        dot = jax.lax.dot_general(
-            xq[:, g * group:(g + 1) * group], plane[r0:r0 + group, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)             # [M, NB]
-        corr = dot - rs_ref[:, g:g + 1]                   # fold -8 bias
-        acc = acc + corr.astype(jnp.float32) * s_ref[g, :][None, :]
+    g_idx = 0
+    for blk in range(blocks):
+        for half, plane in ((0, lo), (1, hi)):
+            for g in range(hgb):
+                r0 = blk * (Kb // 2) + g * group          # plane row
+                dot = jax.lax.dot_general(
+                    xq[:, g_idx * group:(g_idx + 1) * group],
+                    plane[r0:r0 + group, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)     # [M, NB]
+                corr = dot - rs_ref[:, g_idx:g_idx + 1]   # fold -8 bias
+                acc = acc + (corr.astype(jnp.float32)
+                             * s_ref[g_idx, :][None, :])
+                g_idx += 1
     out_ref[:] = acc
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("group", "block_n", "interpret"))
+                   static_argnames=("group", "blocks", "block_n",
+                                    "interpret"))
 def _qdense4_pallas_2d(xq, rowsums, q4, scale, group: int = GROUP,
-                       block_n: int = 1024, interpret: bool = False):
+                       blocks: int = 1, block_n: int = 1024,
+                       interpret: bool = False):
     """Grid = (N blocks, M blocks), M minor: a weight block (the big
     streamed operand) is loaded once and reused across every M block,
     while the small activation block cycles — so decode (one M block) and
@@ -244,8 +299,8 @@ def _qdense4_pallas_2d(xq, rowsums, q4, scale, group: int = GROUP,
     # that divides it (verify rounds are M=64 — padding them to 128 would
     # double the MXU/VPU work of the whole verify forward)
     bm = next(c for c in (128, 96, 64, 32) if M % c == 0)
-    kernel = functools.partial(_w4_kernel, group=group,
-                               half_groups=G // 2, interpret=interpret)
+    kernel = functools.partial(_w4_kernel, group=group, blocks=blocks,
+                               interpret=interpret)
     return pl.pallas_call(
         kernel,
         grid=(pl.cdiv(N, bn), M // bm),
@@ -268,9 +323,16 @@ def _qdense4_pallas_2d(xq, rowsums, q4, scale, group: int = GROUP,
 
 def _qdense4_core(x2d, q4, scale, *, interpret: bool):
     """[M, K] float @ packed int4 -> [M, N] f32 (activation-quantized,
-    kernel-backed). Rows are independent and numerically M-invariant."""
+    kernel-backed). Rows are independent and numerically M-invariant.
+    q4/scale may be 2-D (blocks=1) or blocked 3-D (TP layout) — blocked
+    tensors are flattened along the word axis and the block structure is
+    passed to the kernel statically."""
     K = x2d.shape[-1]
-    group = 8 * q4.shape[-2] // scale.shape[-2]
+    blocks = _blocks_of(q4)
+    N = q4.shape[-1]
+    q4f = q4.reshape(-1, N)
+    scf = scale.reshape(-1, N).astype(jnp.float32)        # [G, N] K-order
+    group = K // scf.shape[0]
     G = K // group
     xq, sx = _quantize_acts(x2d)
     M = xq.shape[0]
@@ -281,9 +343,80 @@ def _qdense4_core(x2d, q4, scale, *, interpret: bool):
         xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
     # 8 * per-group rowsums, precomputed in XLA (tiny: [M, G])
     rs = 8 * jnp.sum(xq.reshape(Mp, G, group).astype(jnp.int32), axis=2)
-    y = _qdense4_pallas_2d(xq, rs, q4, scale.astype(jnp.float32),
-                           group=group, interpret=interpret)
+    y = _qdense4_pallas_2d(xq, rs, q4f, scf, group=group, blocks=blocks,
+                           interpret=interpret)
     return y[:M] * sx
+
+
+_PART_CACHE: dict = {}
+
+
+def _get_partitioned(interpret: bool):
+    """custom_partitioning-wrapped core (q4/scale in blocked 3-D form).
+
+    XLA SPMD cannot auto-partition a Pallas custom call — without this it
+    would all-gather the operands and run the full kernel on every chip.
+    The partition rules give the kernel Megatron semantics under TP
+    (sharding.quantized_target_param_specs4):
+    - q4 sharded on N (column-parallel — wq/wk/wv/w_gate/w_up/lm_head):
+      each shard runs the kernel on its own output columns; no collective,
+      per-element results bit-identical to unsharded.
+    - q4 sharded on the leading BLOCK axis (row-parallel — wo/w_down,
+      packed with pack_w4 blocks=t): each shard holds a self-contained
+      packing of a contiguous K range, x is sharded on K to match, and one
+      f32 psum combines the shard partials. Activation scales are then
+      per-(row, shard) — finer than unsharded, so row-parallel outputs
+      agree to f32 tolerance rather than bitwise (same caveat as any TP
+      system's reduction order).
+    - unsharded/replicated: plain local call (single-chip path unchanged).
+    """
+    if interpret in _PART_CACHE:
+        return _PART_CACHE[interpret]
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def _core_fn(x2d, q4, scale):
+        return _qdense4_core(x2d, q4, scale, interpret=interpret)
+
+    core = custom_partitioning(_core_fn)
+
+    def _spec(info, rank):
+        s = getattr(info, "sharding", None)
+        spec = tuple(s.spec) if s is not None else ()
+        return spec + (None,) * (rank - len(spec))
+
+    def infer(mesh, arg_infos, result_info):
+        x0 = _spec(arg_infos[0], 2)[0]
+        wspec = _spec(arg_infos[1], 3)
+        col = wspec[2] if wspec[0] is None else None
+        return NamedSharding(mesh, P(x0, col))
+
+    def partition(mesh, arg_infos, result_infos):
+        x0 = _spec(arg_infos[0], 2)[0]
+        wspec = _spec(arg_infos[1], 3)
+        row, col = wspec[0], wspec[2]
+
+        def ns(*spec):
+            return NamedSharding(mesh, P(*spec))
+
+        if row is not None:
+            def lower(x, q4, scale):
+                return jax.lax.psum(
+                    _qdense4_core(x, q4, scale, interpret=interpret), row)
+            args = (ns(x0, row), ns(row, None, None), ns(row, None, None))
+            out = ns(x0, None)
+        else:
+            def lower(x, q4, scale):
+                return _qdense4_core(x, q4, scale, interpret=interpret)
+            args = (ns(x0, None), ns(None, None, col), ns(None, None, col))
+            out = ns(x0, col)
+        return mesh, lower, out, args
+
+    core.def_partition(infer_sharding_from_operands=infer,
+                       partition=partition,
+                       sharding_rule="m k, b w n, b g n -> m n")
+    _PART_CACHE[interpret] = core
+    return core
 
 
 _CORE_CACHE: dict = {}
@@ -295,13 +428,20 @@ def _get_core(interpret: bool):
     prepend a grid dimension — the naive batching rule re-streams every
     weight block once PER BATCH SLOT (measured 52.5 ms vs 27 ms for the
     B=8 round, tools/probe_int4_b8.py). Row independence makes the
-    flatten bit-exact."""
+    flatten bit-exact. The inner call goes through _get_partitioned so
+    sharded weights partition instead of gathering."""
     if interpret in _CORE_CACHE:
         return _CORE_CACHE[interpret]
     from jax import custom_batching
 
-    core = custom_batching.custom_vmap(
-        functools.partial(_qdense4_core, interpret=interpret))
+    part = _get_partitioned(interpret)
+
+    def _call(x2d, q4, scale):
+        if q4.ndim == 2:                       # blocks=1 stored layout
+            q4, scale = q4[None], scale[None]
+        return part(x2d, q4, scale)
+
+    core = custom_batching.custom_vmap(_call)
 
     @core.def_vmap
     def _rule(axis_size, in_batched, x, q4, scale):  # noqa: ANN001
@@ -347,7 +487,7 @@ def qdense4(x: jnp.ndarray, qw: dict, b: Optional[jnp.ndarray] = None,
 # Tree-level conversion (mirrors ops/quant.py coverage exactly)
 # ---------------------------------------------------------------------------
 
-from .quant import _QUANT_KEYS  # single source of quantizable-leaf names
+from .quant import _DRAFT_QUANT_KEYS, _QUANT_KEYS  # shared leaf names
 
 
 def _packable(w, group: int) -> bool:
@@ -362,7 +502,7 @@ def quantize_draft_params4(dparams: dict, group: int = GROUP) -> dict:
     layers = []
     for lp in dparams["layers"]:
         nlp = dict(lp)
-        for k in _QUANT_KEYS:
+        for k in _DRAFT_QUANT_KEYS:
             if k in nlp and not isinstance(nlp[k], dict) \
                     and _packable(nlp[k], group):
                 nlp[k] = pack_w4(nlp[k], group)
@@ -379,41 +519,58 @@ def quantize_draft_params4(dparams: dict, group: int = GROUP) -> dict:
     return out
 
 
-def _pack_w4_host(w, group: int = GROUP) -> dict:
+def _pack_w4_host(w, group: int = GROUP, blocks: int = 1) -> dict:
     """Host (numpy) packing for 2-D [K, N] or stacked [L, K, N] weights —
     same math as pack_w4/vmap(pack_w4); avoids staging fp32 copies of a
-    multi-GB tree on device (see quant.quantize_target_params)."""
+    multi-GB tree on device (see quant.quantize_target_params).
+    blocks > 1 emits pack_w4's TP layout with a block axis inserted before
+    the word axis: [.., blocks, K/(8b), N]."""
     wf = np.asarray(w, np.float32)
     K, N = wf.shape[-2], wf.shape[-1]
-    group = _eff_group(K, group)
+    if K % (8 * blocks):
+        raise ValueError(f"int4 packing needs 8*blocks={8*blocks} | K={K}")
+    Kb = K // blocks
+    group = _eff_group(Kb, group)
     lead = wf.shape[:-2]
     wg = wf.reshape(lead + (K // group, group, N))
     amax = np.max(np.abs(wg), axis=-2)
     scale = np.maximum(amax / 7.0, 1e-12).astype(np.float32)
     q = np.clip(np.round(wg / scale[..., None, :]), -7, 7)
-    nib = (q + 8.0).astype(np.uint8).reshape(lead + (K, N))
-    b = (nib[..., : K // 2, :]
-         | (nib[..., K // 2:, :] << 4)).astype(np.int32)
-    b = b.reshape(lead + (K // 8, 4, N))
+    nib = (q + 8.0).astype(np.uint8).reshape(lead + (blocks, Kb, N))
+    b = (nib[..., : Kb // 2, :]
+         | (nib[..., Kb // 2:, :] << 4)).astype(np.int32)
+    b = b.reshape(lead + (blocks, Kb // 8, 4, N))
     words = (b[..., 0, :] | (b[..., 1, :] << 8) | (b[..., 2, :] << 16)
              | (b[..., 3, :] << 24)).astype(np.int32)
-    return {"q4": words, "scale": scale}
+    if blocks == 1:
+        return {"q4": words.reshape(lead + (K // 8, N)), "scale": scale}
+    return {"q4": words,
+            "scale": scale.reshape(lead + (blocks, K // group // blocks, N))}
 
 
-def quantize_target_params4(params: dict, group: int = GROUP) -> dict:
+# row-parallel keys: contraction (K) axis is the one TP shards, so these
+# must be packed with blocks=tp (parallel/sharding.py row specs)
+_ROW_PARALLEL_KEYS = ("wo", "w_down")
+
+
+def quantize_target_params4(params: dict, group: int = GROUP,
+                            tp: int = 1) -> dict:
     """Weight-only int4 for a TARGET tree (stacked [L, K, N] layers +
     lm_head), on the host. Serving operating point: outputs match the int4
     target's own vanilla decode bit-for-bit, not the bf16 target's —
-    same contract as quant.quantize_target_params. Single-chip path:
-    unlike int8 (plain XLA dots, TP-shardable via
-    sharding.quantized_target_param_specs), the int4 matmul is a Pallas
-    custom call that XLA SPMD cannot auto-partition — TP would need a
-    shard_map wrapper."""
+    same contract as quant.quantize_target_params.
+
+    tp > 1 packs the row-parallel weights (wo/w_down) with blocks=tp so
+    the tree shards under sharding.quantized_target_param_specs4 — each
+    model-axis shard then owns a standalone packing of a contiguous K
+    range (see pack_w4). tp=1 output is bit-identical to tp>1 run
+    unsharded (K-ordered group accumulation either way)."""
     out = dict(params)
     layers = dict(params["layers"])
     for k in _QUANT_KEYS:
         if k in layers and not isinstance(layers[k], dict):
-            layers[k] = _pack_w4_host(layers[k], group)
+            blocks = tp if k in _ROW_PARALLEL_KEYS else 1
+            layers[k] = _pack_w4_host(layers[k], group, blocks=blocks)
     out["layers"] = layers
     if "lm_head" in out and not isinstance(out["lm_head"], dict):
         out["lm_head"] = _pack_w4_host(out["lm_head"], group)

@@ -95,10 +95,7 @@ def quantized_target_param_specs(cfg: ModelConfig) -> dict:
     all — so the sharded engine's greedy output is bit-identical to the
     unsharded int8 engine's (pinned by test_sharding.py).
 
-    int4 (ops/quant4.py) is NOT wired for TP: its matmul is a Pallas
-    custom call, which XLA SPMD cannot auto-partition — sharding it needs
-    an explicit shard_map wrapper (future work; single-chip serving point
-    for now)."""
+    For int4 targets use quantized_target_param_specs4."""
     from ..ops.quant import _QUANT_KEYS
 
     specs = target_param_specs(cfg)
@@ -114,6 +111,43 @@ def quantized_target_param_specs(cfg: ModelConfig) -> dict:
     specs["layers"] = layers
     if "lm_head" in specs:
         specs["lm_head"] = q(specs["lm_head"])
+    return specs
+
+
+def quantized_target_param_specs4(cfg: ModelConfig) -> dict:
+    """target_param_specs for an int4-packed target tree
+    (ops/quant4.quantize_target_params4 with tp = mesh "model" size).
+
+    Column-parallel weights (model axis on N) keep their spec on q4/scale
+    — each shard's N slice is an independent packing, bit-exact. The
+    row-parallel weights wo/w_down are packed with a leading BLOCK axis
+    ([L, tp, K/(8·tp), N]) and shard THAT over "model": every shard holds
+    a standalone half-split packing of a contiguous K range, and the
+    kernel's custom_partitioning rule (ops/quant4._get_partitioned) runs
+    it locally + one f32 psum — Megatron row-parallel for a Pallas custom
+    call XLA SPMD can't split on its own."""
+    from ..ops.quant import _QUANT_KEYS
+    from ..ops.quant4 import _ROW_PARALLEL_KEYS
+
+    specs = target_param_specs(cfg)
+
+    def q(spec: P, key: str) -> dict:
+        lead = tuple(spec[:-2])
+        if key in _ROW_PARALLEL_KEYS:
+            # [.., K, N] -> q4 [.., blocks, K/(8b), N]; model on blocks
+            assert spec[-2] == "model", (key, spec)
+            blocked = P(*lead, "model", None, None)
+            return {"q4": blocked, "scale": blocked}
+        # column-parallel: q4 [.., K/8, N] / scale [.., G, N] keep spec
+        return {"q4": spec, "scale": spec}
+
+    layers = dict(specs["layers"])
+    for k in _QUANT_KEYS:
+        if k in layers:
+            layers[k] = q(layers[k], k)
+    specs["layers"] = layers
+    if "lm_head" in specs:
+        specs["lm_head"] = q(specs["lm_head"], "lm_head")
     return specs
 
 
