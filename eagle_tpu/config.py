@@ -301,6 +301,12 @@ class EngineConfig:
     # EAGLE-1 static topology: a choices-style tuple of child-rank paths
     # (eagle/model/choices.py mc_sim_7b_63). None → dynamic EAGLE-2/3 trees.
     tree_paths: Optional[Tuple[Tuple[int, ...], ...]] = None
+    # fuse the draft head's q/k/v (and gate/up) projections into single
+    # concatenated matmuls at engine init (models/draft.fuse_projections).
+    # One weight stream + one kernel dispatch instead of three per beam
+    # step; bitwise-identical for quantized drafts (per-output-column
+    # scales), numerically identical for bf16. Off switch for A/B only.
+    fuse_draft: bool = True
 
     @property
     def tree_size(self) -> int:

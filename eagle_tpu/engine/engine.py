@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DraftConfig, EngineConfig, ModelConfig
+from ..models import draft as draft_mod
 from ..models import transformer
 from ..ops.kv_cache import KVCache, compact_accepted, init_cache, with_length
 from ..ops.masks import TreeMaskSpec, prefill_mask
@@ -73,6 +74,10 @@ class EagleEngine:
         self.eos_token_id = eos_token_id  # device-side finish detection
         # optional sequence-parallel prefill (ring attention over sp_axis)
         self.sp_mesh, self.sp_axis = sp_mesh, sp_axis
+        if ecfg.fuse_draft:
+            # concat q|k|v and gate|up before (possible) quantization: the
+            # beam loop then streams one tensor / one dispatch per group
+            dparams = draft_mod.fuse_projections(dparams)
         if ecfg.draft_quant == "int8":
             from ..ops.quant import quantize_draft_params
             dparams = quantize_draft_params(dparams)

@@ -33,21 +33,78 @@ from .transformer import attention, rms_norm, _dense
 
 
 def _mlp(h: jnp.ndarray, lp: dict) -> jnp.ndarray:
-    return _dense(jax.nn.silu(_dense(h, lp["w_gate"])) * _dense(h, lp["w_up"]), lp["w_down"])
+    if "wgu" in lp:  # fused gate|up (fuse_projections)
+        F = lp["w_down"].shape[-2] if not isinstance(lp["w_down"], dict) \
+            else _quant_in_dim(lp["w_down"])
+        gu = _dense(h, lp["wgu"])
+        gate, up = gu[..., :F], gu[..., F:]
+    else:
+        gate, up = _dense(h, lp["w_gate"]), _dense(h, lp["w_up"])
+    return _dense(jax.nn.silu(gate) * up, lp["w_down"])
+
+
+def _quant_in_dim(w: dict) -> int:
+    """Contraction dim of a quantized leaf ({"q8"} or packed {"q4"})."""
+    if "q8" in w:
+        return w["q8"].shape[-2]
+    from ..ops.quant4 import _k_of
+    return _k_of(w)
 
 
 def _attn_block(x: jnp.ndarray, lp: dict, cfg: DraftConfig,
                 k_cache, v_cache, cos, sin, mask, start):
     """QKV → rope → cache append → masked attention → o_proj."""
     B, T, _ = x.shape
-    q = _dense(x, lp["wq"], lp.get("bq")).reshape(B, T, cfg.num_q_heads, cfg.head_dim)
-    k = _dense(x, lp["wk"], lp.get("bk")).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-    v = _dense(x, lp["wv"], lp.get("bv")).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    if "wqkv" in lp:  # fused q|k|v (fuse_projections): one weight stream
+        qd, kvd = cfg.q_dim, cfg.kv_dim
+        qkv = _dense(x, lp["wqkv"], lp.get("bqkv"))
+        q = qkv[..., :qd].reshape(B, T, cfg.num_q_heads, cfg.head_dim)
+        k = qkv[..., qd:qd + kvd].reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        v = qkv[..., qd + kvd:].reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    else:
+        q = _dense(x, lp["wq"], lp.get("bq")).reshape(B, T, cfg.num_q_heads, cfg.head_dim)
+        k = _dense(x, lp["wk"], lp.get("bk")).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        v = _dense(x, lp["wv"], lp.get("bv")).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     k_cache, v_cache = update_layer(k_cache, v_cache, k, v, start)
     out = attention(q, k_cache, v_cache, mask)
     return _dense(out, lp["wo"]), k_cache, v_cache
+
+
+def fuse_projections(dparams: dict) -> dict:
+    """Concatenate each layer's q/k/v (and gate/up) projection weights
+    along the output axis: wqkv [in, q_dim+2·kv_dim], wgu [H, 2F].
+
+    Inference-time transform (the engine applies it at init, before draft
+    quantization): the beam loop then streams ONE weight tensor and issues
+    ONE matmul dispatch where it issued three — at beam shapes (≤10 rows)
+    those matmuls are dispatch/streaming-bound, so call count is the cost.
+    Numerics: per-output-column work is unchanged (same contraction, same
+    K order) — bitwise identical for int8/int4 drafts (integer dots +
+    per-column scales), and identical for bf16 on the MXU's K-sequential
+    accumulation. Idempotent; training/export always use the unfused tree
+    (reference cnets naming, hf_loader/checkpoint round-trips)."""
+    if not dparams.get("layers") or "wqkv" in dparams["layers"][0]:
+        return dparams
+    out = dict(dparams)
+    layers = []
+    for lp in dparams["layers"]:
+        if isinstance(lp.get("wq"), dict):  # already quantized: skip
+            layers.append(lp)
+            continue
+        nlp = dict(lp)
+        nlp["wqkv"] = jnp.concatenate(
+            [nlp.pop("wq"), nlp.pop("wk"), nlp.pop("wv")], axis=-1)
+        if "bq" in nlp:
+            nlp["bqkv"] = jnp.concatenate(
+                [nlp.pop("bq"), nlp.pop("bk"), nlp.pop("bv")], axis=-1)
+        if not isinstance(nlp.get("w_gate"), dict):
+            nlp["wgu"] = jnp.concatenate(
+                [nlp.pop("w_gate"), nlp.pop("w_up")], axis=-1)
+        layers.append(nlp)
+    out["layers"] = layers
+    return out
 
 
 class DraftResult(NamedTuple):
