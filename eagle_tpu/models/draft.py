@@ -85,18 +85,20 @@ def fuse_projections(dparams: dict) -> dict:
     per-column scales), and identical for bf16 on the MXU's K-sequential
     accumulation. Idempotent; training/export always use the unfused tree
     (reference cnets naming, hf_loader/checkpoint round-trips)."""
-    if not dparams.get("layers") or "wqkv" in dparams["layers"][0]:
-        return dparams
+    if not dparams.get("layers") or all(
+            "wqkv" in lp or isinstance(lp.get("wq"), dict)
+            for lp in dparams["layers"]):
+        return dparams  # nothing fusable left (fused and/or quantized)
     out = dict(dparams)
     layers = []
     for lp in dparams["layers"]:
-        if isinstance(lp.get("wq"), dict):  # already quantized: skip
-            layers.append(lp)
+        if "wqkv" in lp or isinstance(lp.get("wq"), dict):
+            layers.append(lp)  # already fused / quantized: skip
             continue
         nlp = dict(lp)
         nlp["wqkv"] = jnp.concatenate(
             [nlp.pop("wq"), nlp.pop("wk"), nlp.pop("wv")], axis=-1)
-        if "bq" in nlp:
+        if all(k in nlp for k in ("bq", "bk", "bv")):
             nlp["bqkv"] = jnp.concatenate(
                 [nlp.pop("bq"), nlp.pop("bk"), nlp.pop("bv")], axis=-1)
         if not isinstance(nlp.get("w_gate"), dict):

@@ -56,6 +56,10 @@ import numpy as np
 
 GROUP = 128  # scale-group size along the contraction axis
 
+# Test hook: route engine-level (interpret=None) qdense4 calls through the
+# Pallas interpreter when not on TPU, instead of the qdense4_xla fallback.
+FORCE_INTERPRET = False
+
 
 def _eff_group(K: int, group: int) -> int:
     """Largest usable group ≤ `group`: must divide K/2 so scale groups
@@ -127,11 +131,20 @@ def pack_w4(w: jnp.ndarray, group: int = GROUP, blocks: int = 1) -> dict:
     valid layout whose activation slice is contiguous (Megatron
     row-parallel: local kernel + one psum). The group accumulation order
     stays K-sequential for any block count, so blocks=1 and blocks=t are
-    bit-identical unsharded."""
+    bit-identical unsharded — PROVIDED the effective group is the same:
+    when K/blocks is too small for `group` to divide (K/blocks)/2, the
+    per-block scales become finer than the blocks=1 packing and outputs
+    legitimately differ (a warning is emitted)."""
     K, N = w.shape
     if K % (8 * blocks):
         raise ValueError(f"int4 packing needs 8*blocks={8*blocks} | K={K}")
     Kb = K // blocks
+    if blocks > 1 and _eff_group(Kb, group) != _eff_group(K, group):
+        import warnings
+        warnings.warn(
+            f"pack_w4: blocks={blocks} shrinks the effective scale group "
+            f"({_eff_group(K, group)} -> {_eff_group(Kb, group)} at K={K}); "
+            "outputs will differ from the blocks=1 packing", stacklevel=2)
     group = _eff_group(Kb, group)
     wf = w.astype(jnp.float32).reshape(K // group, group, N)
     amax = jnp.max(jnp.abs(wf), axis=1)                   # [K/g, N]
@@ -161,6 +174,9 @@ def _nibbles_korder(q4: jnp.ndarray) -> jnp.ndarray:
 
 def unpack_w4(qw: dict, dtype=jnp.float32) -> jnp.ndarray:
     """Dequantize back to [K, N] float (reference path; materializes)."""
+    if qw["q4"].ndim not in (2, 3):
+        raise ValueError(  # rank encodes the layout; see _blocks_of
+            f"packed q4 must be 2-D or blocked 3-D, got {qw['q4'].shape}")
     N = qw["q4"].shape[-1]
     q = _nibbles_korder(qw["q4"]).astype(jnp.int32) - 8   # [K, N]
     scale = qw["scale"].reshape(-1, N)                    # K-ordered groups
@@ -231,9 +247,20 @@ def _w4_kernel(xq_ref, rs_ref, p_ref, s_ref, out_ref, *, group: int,
     along the word axis): unpacked plane rows [b*Kb/2, (b+1)*Kb/2) hold
     block b's low/high half rows. The group loop visits groups in K order
     for ANY block count, so all layouts produce bit-identical f32 sums."""
+    out_ref[:] = _w4_block_acc(p_ref[:], xq_ref[:], rs_ref[:], s_ref[:],
+                               group=group, blocks=blocks,
+                               interpret=interpret)
+
+
+def _w4_block_acc(p, xq, rs, s, *, group: int, blocks: int,
+                  interpret: bool) -> jnp.ndarray:
+    """In-kernel w4a8 block matmul body (shared by _w4_kernel and the
+    fused score+topk kernel, ops/score_topk.py): packed words [K/8, NB] ×
+    int8 activations [M, K] -> f32 [M, NB] (activation scales NOT applied;
+    numerics identical for any caller — exact int dots, fixed f32 group
+    order)."""
     from jax.experimental.pallas import tpu as pltpu
 
-    p = p_ref[:]                                          # [K/8, NB] int32
     NB = p.shape[1]
     if interpret:
         # the CPU interpreter lacks Mosaic's sublane-expanding bitcast;
@@ -245,7 +272,6 @@ def _w4_kernel(xq_ref, rs_ref, p_ref, s_ref, out_ref, *, group: int,
     else:
         lo = pltpu.bitcast(p & 0x0F0F0F0F, jnp.int8)      # [K/2, NB]
         hi = pltpu.bitcast((p >> 4) & 0x0F0F0F0F, jnp.int8)
-    xq = xq_ref[:]                                        # [M, K] int8
     K = xq.shape[1]
     Kb = K // blocks                                      # rows per block
     hgb = Kb // 2 // group                                # half-groups/block
@@ -260,11 +286,11 @@ def _w4_kernel(xq_ref, rs_ref, p_ref, s_ref, out_ref, *, group: int,
                     plane[r0:r0 + group, :],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)     # [M, NB]
-                corr = dot - rs_ref[:, g_idx:g_idx + 1]   # fold -8 bias
+                corr = dot - rs[:, g_idx:g_idx + 1]       # fold -8 bias
                 acc = acc + (corr.astype(jnp.float32)
-                             * s_ref[g_idx, :][None, :])
+                             * s[g_idx, :][None, :])
                 g_idx += 1
-    out_ref[:] = acc
+    return acc
 
 
 @functools.partial(jax.jit,
@@ -327,6 +353,9 @@ def _qdense4_core(x2d, q4, scale, *, interpret: bool):
     q4/scale may be 2-D (blocks=1) or blocked 3-D (TP layout) — blocked
     tensors are flattened along the word axis and the block structure is
     passed to the kernel statically."""
+    if q4.ndim not in (2, 3):
+        raise ValueError(  # a stacked [L, K/8, N] leaf would be misread
+            f"packed q4 must be 2-D or blocked 3-D, got {q4.shape}")
     K = x2d.shape[-1]
     blocks = _blocks_of(q4)
     N = q4.shape[-1]
@@ -369,6 +398,13 @@ def _get_partitioned(interpret: bool):
       agree to f32 tolerance rather than bitwise (same caveat as any TP
       system's reduction order).
     - unsharded/replicated: plain local call (single-chip path unchanged).
+
+    Envelope: tp must divide num_kv_heads (the engine's own TP bound — the
+    KV cache shards by kv head). With tp > num_kv_heads the partitioner
+    propagates a kv-head-replicated activation tiling (e.g. 4-way split ×
+    2-way replicated on an 8-way mesh) into the custom call, which cannot
+    be parsed into mesh-axis PartitionSpecs
+    (tests/test_quant4_tp.py::test_int4_target_engine_tp8_pallas_interpret).
     """
     if interpret in _PART_CACHE:
         return _PART_CACHE[interpret]
@@ -468,11 +504,17 @@ def qdense4(x: jnp.ndarray, qw: dict, b: Optional[jnp.ndarray] = None,
 
     Pallas kernel on TPU; qdense4_xla elsewhere (same numerics).
     interpret=True forces the kernel through the Pallas interpreter
-    (kernel-logic tests on CPU)."""
+    (kernel-logic tests on CPU). Setting the module flag
+    FORCE_INTERPRET=True routes even interpret=None calls (the engine's)
+    through the interpreted kernel off-TPU, so tests can exercise the
+    custom_vmap + custom_partitioning + scan composition on a CPU mesh."""
     if interpret is None:
         if jax.default_backend() != "tpu":
-            return qdense4_xla(x, qw, b, out_dtype=out_dtype)
-        interpret = False
+            if not FORCE_INTERPRET:
+                return qdense4_xla(x, qw, b, out_dtype=out_dtype)
+            interpret = True
+        else:
+            interpret = False
     shape = x.shape
     N = qw["q4"].shape[-1]
     y = _get_core(bool(interpret))(x.reshape(-1, shape[-1]), qw["q4"],

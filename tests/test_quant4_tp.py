@@ -112,6 +112,38 @@ def test_partitioned_row_sharded_psum():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
 
 
+def test_int4_target_engine_tp8_pallas_interpret(monkeypatch):
+    """Engine-level (interpret=None) qdense4 calls fall back to qdense4_xla
+    off-TPU, so the custom_vmap + custom_partitioning + lax.scan composition
+    never executed inside a real decode round on the CPU mesh — only
+    kernel-level interpret tests did (ADVICE r3). FORCE_INTERPRET routes the
+    engine's own calls through the interpreted, partitioned Pallas kernel;
+    the TP engine must keep greedy == vanilla through it.
+
+    tp=4 (= num_kv_heads), not 8: with tp > num_kv_heads the partitioner
+    propagates a kv-head-replicated activation tiling (4-way split x 2-way
+    replicated) into the custom call, which custom_partitioning cannot
+    parse into mesh axes. tp <= num_kv_heads is already the engine's TP
+    envelope (the KV cache shards by kv head), so the kernel documents the
+    same bound rather than supporting a degenerate mesh."""
+    monkeypatch.setattr(quant4, "FORCE_INTERPRET", True)
+    cfg = tp_cfg()
+    dcfg = tiny_dcfg(3)
+    params = transformer.init_params(cfg, jax.random.PRNGKey(1))
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(2))
+    ecfg = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256)
+    qparams = quant4.quantize_target_params4(params, tp=4)
+    mesh = shd.make_mesh(n_data=1, n_model=4, devices=jax.devices()[:4])
+    qparams_s = shd.shard_params(qparams, mesh,
+                                 shd.quantized_target_param_specs4(cfg))
+    dparams_s = shd.replicate(dparams, mesh)
+    eng = EagleEngine(qparams_s, cfg, dparams_s, dcfg, ecfg)
+    with jax.set_mesh(mesh):
+        out_v = eng.generate_vanilla(PROMPT, max_new_tokens=16)
+        out = eng.generate(PROMPT, max_new_tokens=16)
+    np.testing.assert_array_equal(out[: len(out_v)], out_v[: len(out)])
+
+
 def test_int4_target_engine_tp8():
     """int4-quantized target under TP=8 on the CPU mesh: the sharded
     engine's greedy speculative output is bit-identical to its OWN vanilla
