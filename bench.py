@@ -54,13 +54,34 @@ Prints exactly ONE JSON line on stdout; the headline fields are
 the BASELINE.md north star). "value" is the best LOSSLESS operating point
 — bf16, int8+QAT, or int4+QAT draft (Pallas w4a8 kernel), whichever
 measures fastest ("headline" names it; all emit bit-exact greedy output
-against the same vanilla baseline, so the comparison is exact). Extra keys carry the full set:
-absolute tok/s, MBU/MFU (decode round AND prefill), the (τ, speedup)
-sweep, held-out τ, kernel A/B round times, and batched-serving aggregate
-throughput at B ∈ {1, 4, 8} (forced replay per sequence, headline engine),
-including a serving-calibrated-tree A/B at B=8 ("serving_tree_b8": the
-batched round is verify-compute-bound, so smaller trees trade τ for round
-time; serving["8"] reports the measured-best point on that frontier).
+against the same vanilla baseline, so the comparison is exact). NOTE:
+"value" is a MEMORIZATION-CEILING point for this random-weight emulation
+(the draft can only memorize its training rows — see above); the
+transferable number is "speedup_at_tau5" (τ=5, the published EAGLE-3
+range, at the measured headline round time), carried alongside "value" in
+the headline block. Extra keys carry the full set: absolute tok/s, MBU/MFU
+(decode round AND prefill), the (τ, speedup) sweep, held-out τ, kernel A/B
+round times, and batched-serving aggregate throughput at B ∈ {1, 4, 8}
+(forced replay per sequence, headline engine), including a
+serving-calibrated-tree A/B at B=8 ("serving_tree_b8": the batched round
+is verify-compute-bound, so smaller trees trade τ for round time;
+serving["8"] reports the measured-best point on that frontier).
+
+Wall-clock discipline (the driver kills the bench at its own timeout; a
+record with no JSON line is worthless — BENCH_r03 lesson):
+- A hard stage budget (BENCH_BUDGET_S, default 1500 s) gates every
+  optional stage; the JSON line prints with whatever stages fit, each
+  skipped stage logged. Stage order = evidentiary priority: vanilla +
+  bf16 headline + one QAT candidate first, sweeps/A-Bs/serving after.
+- Distilled drafts and the corpus are content-cached in .bench_cache/
+  (keyed by config + corpus digest; the corpus is revalidated against a
+  freshly regenerated trajectory row each run, so numerics drift in the
+  vanilla path invalidates the cache instead of silently measuring a
+  stale draft). A warm run skips all distillation (~500 s).
+- QAT candidates warm-start from the 200-step bf16 snapshot and
+  fine-tune BENCH_QAT_STEPS (default 60) quantization-aware steps —
+  recovering the τ that post-training quantization loses at ~1/4 the
+  cost of the from-scratch QAT distills that blew the r3 budget.
 """
 
 import dataclasses
@@ -87,6 +108,10 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("BENCH_TINY"):
+    # logic smoke test: stay off the TPU (the environment's sitecustomize
+    # pins the remote plugin regardless of JAX_PLATFORMS)
+    jax.config.update("jax_platforms", "cpu")
 
 
 def prefault_host_arena(gb: float = 4.0, threads: int = 4):
@@ -112,8 +137,63 @@ DISTILL_SNAPSHOTS = (12, 40, 200)  # steps → increasing draft quality / τ
 TRAIN_ROWS = 12          # corpus rows used for distillation; the rest are
                          # held out → tau_heldout measures a GENERALIZING
                          # draft (no memorization), the realistic-τ point
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+QAT_STEPS = int(os.environ.get("BENCH_QAT_STEPS", "60"))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
 if os.environ.get("BENCH_TINY"):
     DISTILL_SNAPSHOTS = (2, 5)
+    QAT_STEPS = 3
+
+
+def _save_tree(path, tree, meta=None):
+    """Persist a pytree of arrays (bf16 stored as uint16 views) + JSON meta
+    atomically. Used for the distilled-draft cache: a warm bench run skips
+    every distillation (the r3 budget killer)."""
+    import ml_dtypes
+    payload, dts = {}, []
+    for i, leaf in enumerate(jax.tree.leaves(tree)):
+        a = np.asarray(leaf)
+        dts.append(str(a.dtype))
+        if a.dtype == ml_dtypes.bfloat16:
+            a = a.view(np.uint16)
+        payload[f"a{i}"] = a
+    payload["dtypes"] = np.array(dts)
+    payload["meta"] = np.frombuffer(
+        json.dumps(meta or {}).encode(), np.uint8).copy()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+
+
+def _load_tree(path, template):
+    """Load a pytree saved by _save_tree, validated leaf-by-leaf against
+    `template` (a jax.eval_shape pytree). Returns (tree, meta) or
+    (None, None) on miss/mismatch — a shape drift is a cache invalidation,
+    never an error."""
+    import ml_dtypes
+    if not os.path.exists(path):
+        return None, None
+    try:
+        z = np.load(path)
+        tleaves, tdef = jax.tree.flatten(template)
+        dts = [str(s) for s in z["dtypes"]]
+        if len(dts) != len(tleaves):
+            return None, None
+        leaves = []
+        for i, (sd, dt) in enumerate(zip(tleaves, dts)):
+            a = z[f"a{i}"]
+            if dt == "bfloat16":
+                a = a.view(ml_dtypes.bfloat16)
+            if tuple(a.shape) != tuple(sd.shape) or str(sd.dtype) != dt:
+                return None, None
+            leaves.append(a)
+        meta = json.loads(bytes(z["meta"]).decode())
+        return jax.tree.unflatten(tdef, leaves), meta
+    except Exception as e:  # corrupt file == miss
+        log(f"[bench] cache load failed {path}: {type(e).__name__}: {e}")
+        return None, None
 
 
 def retry_flake(fn, tries=3, wait=45):
@@ -202,13 +282,37 @@ def main():
     rng = np.random.default_rng(0)
     prompts = rng.integers(0, V, size=(B, Lp)).astype(np.int32)
 
+    import hashlib
+    cfg_key = hashlib.sha1(json.dumps(
+        [H, L, F, NQ, NKV, D, V, B, Lp, T_gen, TRAIN_ROWS,
+         list(DISTILL_SNAPSHOTS)]).encode()).hexdigest()[:12]
+    corpus_path = os.path.join(CACHE_DIR, f"corpus_{cfg_key}.npz")
+
+    def gen_row(i, budget=T_gen):
+        return retry_flake(lambda: eng.generate_vanilla(
+            prompts[i], max_new_tokens=budget, fused=True))[: Lp + budget]
+
     t2 = time.time()
-    data = np.stack([
-        retry_flake(lambda i=i: eng.generate_vanilla(
-            prompts[i], max_new_tokens=T_gen, fused=True))[: Lp + T_gen]
-        for i in range(B)
-    ]).astype(np.int32)
-    log(f"[bench] corpus {data.shape} {time.time()-t2:.1f}s")
+    data = None
+    if os.path.exists(corpus_path):
+        cached = np.load(corpus_path)["data"]
+        # staleness probe: any numerics drift in the vanilla decode path
+        # (kernel/op changes since the cache was written) changes the
+        # greedy trajectory — regenerate rather than measure a stale draft
+        if (cached.shape == (B, Lp + T_gen)
+                and np.array_equal(gen_row(0), cached[0])):
+            data = cached
+            log(f"[bench] corpus cache hit ({time.time()-t2:.1f}s probe)")
+        else:
+            log("[bench] corpus cache STALE (vanilla trajectory changed)")
+    if data is None:
+        data = np.stack([gen_row(i) for i in range(B)]).astype(np.int32)
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        tmp = corpus_path + ".tmp.npz"
+        np.savez(tmp, data=data)
+        os.replace(tmp, corpus_path)
+        log(f"[bench] corpus {data.shape} {time.time()-t2:.1f}s")
+    corpus_digest = hashlib.sha1(data.tobytes()).hexdigest()[:12]
 
     tcfg = ttt.TrainConfig(length=7, lr=3e-3, warmup_steps=10,
                            total_steps=2000)
@@ -269,22 +373,43 @@ def main():
                 time.sleep(120)
 
     t2 = time.time()
-    # deep-copy: the donated step must not eat dparams0's leaves (embed is
-    # shared with the target params; dparams0 is reused by the int8 path)
-    dparams = jax.tree.map(lambda x: jnp.array(x, copy=True), dict(dparams0))
-    opt_state = opt.init(ttt.partition_trainable(dparams)[0])
+    dtempl = jax.eval_shape(
+        lambda: draft_mod.init_params(dcfg, jax.random.PRNGKey(1)))
+
+    def draft_cache_path(label):
+        return os.path.join(CACHE_DIR,
+                            f"draft_{label}_{corpus_digest}_{cfg_key}.npz")
+
     snapshots = []  # (label_steps, acc0, host dparams)
-    prev = 0
-    for snap in DISTILL_SNAPSHOTS:
-        dparams, opt_state, m = distill_resilient(dparams, opt_state,
-                                                  data[:TRAIN_ROWS],
-                                                  snap - prev)
-        prev = snap
-        snapshots.append((snap, float(np.asarray(m.accs)[0]),
-                          jax.tree.map(np.asarray, dparams)))
-        log(f"[bench] distill step {snap}: acc={np.asarray(m.accs)}")
-    log(f"[bench] distill {time.time()-t2:.1f}s")
-    del dparams, opt_state
+    cached_snaps = [_load_tree(draft_cache_path(f"s{n}"), dtempl)
+                    for n in DISTILL_SNAPSHOTS]
+    sec_per_step = 1.3  # cold-path estimate, refined below if we distill
+    if all(t is not None for t, _ in cached_snaps):
+        snapshots = [(n, m["acc0"], t) for n, (t, m)
+                     in zip(DISTILL_SNAPSHOTS, cached_snaps)]
+        log(f"[bench] distill cache hit ({len(snapshots)} snapshots)")
+    else:
+        # deep-copy: the donated step must not eat dparams0's leaves (embed
+        # is shared with the target params; dparams0 is reused by QAT)
+        dparams = jax.tree.map(lambda x: jnp.array(x, copy=True),
+                               dict(dparams0))
+        opt_state = opt.init(ttt.partition_trainable(dparams)[0])
+        prev = 0
+        for snap in DISTILL_SNAPSHOTS:
+            dparams, opt_state, m = distill_resilient(dparams, opt_state,
+                                                      data[:TRAIN_ROWS],
+                                                      snap - prev)
+            prev = snap
+            acc0 = float(np.asarray(m.accs)[0])
+            host = jax.tree.map(np.asarray, dparams)
+            snapshots.append((snap, acc0, host))
+            _save_tree(draft_cache_path(f"s{snap}"), host,
+                       {"acc0": acc0, "accs": np.asarray(m.accs).tolist()})
+            log(f"[bench] distill step {snap}: acc={np.asarray(m.accs)}")
+        sec_per_step = (time.time() - t2) / max(DISTILL_SNAPSHOTS)
+        log(f"[bench] distill {time.time()-t2:.1f}s "
+            f"({sec_per_step:.2f}s/step)")
+        del dparams, opt_state
 
     # ---- vanilla baseline: slope timing + bandwidth utilization
     test_prompt = prompts[0]
@@ -344,67 +469,36 @@ def main():
         return (float(np.median(taus)), float(np.median(rounds_ms)),
                 float(np.median(lives)) if lives else -1.0)
 
-    # ---- τ-sweep: measured speedup at each distillation snapshot
-    sweep = []
-    for step_i, acc0, dp_host in snapshots:
-        eng.dparams = jax.tree.map(jnp.asarray, dp_host)
-        tau_i, round_i, _ = measure_engine(eng, reps=2)
-        sp_i = (tau_i * 1e3 / round_i) / vanilla_tps
-        sweep.append({"distill_steps": step_i, "acc0": round(acc0, 3),
-                      "tau": round(tau_i, 2),
-                      "round_ms": round(round_i, 2),
-                      "speedup": round(sp_i, 2)})
-        log(f"[bench] sweep step={step_i} acc0={acc0:.3f} tau={tau_i:.2f} "
-            f"round={round_i:.2f}ms speedup={sp_i:.2f}x")
+    # ======== budget-gated measurement program ========
+    # Everything below the bf16 headline is OPTIONAL: each stage runs only
+    # if the wall-clock budget has room (estimate-gated), and a stage
+    # failure is logged, not fatal — the JSON line ALWAYS prints (the
+    # BENCH_r03 rc=124 lesson). Stage order = evidentiary priority.
+    deadline = t0 + BUDGET_S
+
+    def left():
+        return deadline - time.time()
+
+    def stage(name, est, fn):
+        if left() < est:
+            log(f"[bench] SKIP {name} ({left():.0f}s left < ~{est:.0f}s)")
+            return None
+        ts = time.time()
+        try:
+            r = fn()
+            log(f"[bench] stage {name} {time.time()-ts:.1f}s "
+                f"({left():.0f}s left)")
+            return r
+        except Exception as e:
+            log(f"[bench] stage {name} FAILED: {type(e).__name__}: {e}")
+            return None
+
+    # ---- bf16 headline (required). Config is fixed: "xla" attention (the
+    # greedy==vanilla bit-exactness invariant is part of the product) +
+    # "pallas" compaction (in-place kernel; the A/B stage below records
+    # what the alternatives would buy — historically within ~2% noise).
     eng.dparams = jax.tree.map(jnp.asarray, snapshots[-1][2])
-
-    # ---- kernel A/B at full scale: attention (xla vs pallas_tree) x
-    # compaction (xla vs pallas). Compaction must be bit-transparent per
-    # attention impl (pure row moves) — asserted via a free-running output
-    # comparison (identical cache bits ⇒ identical trajectory). Across
-    # attention impls only round TIME is compared: the Pallas flash kernel's
-    # online-softmax reduction order differs from XLA's by ~1 bf16 ulp,
-    # which legitimately flips greedy argmaxes over a random-weight target.
-    ab = {}
-    for attn in ("xla", "pallas_tree"):
-        ref_out = None
-        for compact in ("xla", "pallas"):
-            cfg_ab = dataclasses.replace(cfg, attn_impl=attn)
-            ecfg_ab = dataclasses.replace(ecfg, compact_impl=compact)
-            e_ab = EagleEngine(params, cfg_ab, eng.dparams, dcfg, ecfg_ab)
-            out = retry_flake(lambda: e_ab.generate_fused(
-                test_prompt, max_new_tokens=HI))
-            if ref_out is None:
-                ref_out = out
-            else:
-                n = min(len(ref_out), len(out))
-                assert np.array_equal(out[:n], ref_out[:n]), (
-                    f"compaction changed outputs: attn={attn}")
-            tau_ab, round_ab, _ = measure_engine(e_ab, idxs=(0, 1), reps=2)
-            ab[f"{attn}+{compact}"] = round(round_ab, 2)
-            log(f"[bench] A/B attn={attn} compact={compact}: "
-                f"round={round_ab:.2f}ms (tau={tau_ab:.2f})")
-    best_combo = min(ab, key=ab.get)
-    log(f"[bench] A/B best: {best_combo} ({ab[best_combo]:.2f}ms)")
-
-    # headline config: fastest COMPACTION, but attention stays "xla" — the
-    # greedy==vanilla bit-exactness invariant is part of the product; the
-    # Pallas attention number above records what switching would buy.
-    compact_best = min(("xla", "pallas"), key=lambda c: ab[f"xla+{c}"])
-    ecfg_h = dataclasses.replace(ecfg, compact_impl=compact_best)
-    eng_h = EagleEngine(params, cfg, eng.dparams, dcfg, ecfg_h)
-    tau, round_ms, live = measure_engine(eng_h, idxs=(0, 1, 2, 3), reps=3)
-    # free-running τ for honesty: with a random-weight target this collapses
-    # once a ulp-flip knocks the trajectory off-corpus (see docstring) —
-    # reported, not headline. live_agreement quantifies the same effect.
-    tau_free, _, _ = measure_engine(eng_h, idxs=(0, 1), reps=2, forced=False)
-    # held-out τ: corpus rows the draft never trained on. Expected ≈1 for a
-    # random-weight target (nothing generalizable to learn — see module
-    # docstring); reported as the memorization disclosure, not a floor.
-    heldout_idxs = tuple(range(TRAIN_ROWS, B))
-    tau_ho, round_ho, _ = measure_engine(eng_h, idxs=heldout_idxs, reps=2)
-    log(f"[bench] held-out rows {heldout_idxs}: tau={tau_ho:.2f} "
-        f"round={round_ho:.2f}ms")
+    tau, round_ms, live = measure_engine(eng, idxs=(0, 1, 2), reps=3)
     eagle_tps = tau * 1e3 / round_ms
     speedup = eagle_tps / vanilla_tps
     # round-level MFU: verify forward (tree_size tokens through the target)
@@ -412,46 +506,55 @@ def main():
     flops_round = 2 * (n_target_params * ecfg.tree_size
                        + (draft_bytes // 2) * (ecfg.depth + 1) * ecfg.top_k)
     mfu_round = (flops_round / (round_ms / 1e3)) / PEAK_FLOPS
-    log(f"[bench] headline [{best_combo}]: vanilla {vanilla_tps:.1f} tok/s | "
-        f"eagle {eagle_tps:.1f} tok/s | tau={tau:.2f} "
-        f"(free {tau_free:.2f}, live-agree {live:.2f}) | "
-        f"speedup={speedup:.2f}x | round={round_ms:.2f}ms "
+    log(f"[bench] headline bf16: vanilla {vanilla_tps:.1f} tok/s | "
+        f"eagle {eagle_tps:.1f} tok/s | tau={tau:.2f} (live-agree "
+        f"{live:.2f}) | speedup={speedup:.2f}x | round={round_ms:.2f}ms "
         f"(MFU {mfu_round:.2f}) | total {time.time()-t0:.0f}s")
 
-    # ---- int8/int4 draft with quantization-aware distillation (default
-    # ON; BENCH_INT8=0 / BENCH_INT4=0 skip). Draft quantization is
-    # LOSSLESS — acceptance only commits target-verified tokens, so greedy
-    # output stays bit-exact (tests/test_quant.py, test_quant4.py) — which
-    # makes the QAT points fair headline candidates against the same
-    # vanilla baseline. int4 runs the Pallas w4a8 kernel (ops/quant4.py).
-    # headline = best LOSSLESS operating point (all candidates emit
-    # bit-exact greedy output; the vanilla baseline is identical). Select
-    # inside the loop so a losing engine's params/executables free before
-    # the next distill (the 8.14 GB target leaves little spare HBM).
     headline = {"operating_point": "bf16_draft", "tau": round(tau, 2),
                 "round_ms": round(round_ms, 2), "speedup": round(speedup, 3)}
-    eng_best = eng_h
+    eng_best = eng
+
+    # ---- int4/int8 draft + QAT (highest-priority optional stages; int4
+    # first — the r3 winner). Draft quantization is LOSSLESS — acceptance
+    # only commits target-verified tokens, so greedy output stays bit-exact
+    # (tests/test_quant.py, test_quant4.py) — which makes the QAT points
+    # fair headline candidates against the same vanilla baseline. int4
+    # runs the Pallas w4a8 kernel (ops/quant4.py). QAT warm-starts from
+    # the 200-step bf16 snapshot: QAT_STEPS quantization-aware fine-tune
+    # steps recover the τ that post-training quantization loses, at ~1/4
+    # the cost of the from-scratch distills that blew the r3 budget.
     quant_results = {}
-    for qmode in ("int8", "int4"):
-        if os.environ.get(f"BENCH_{qmode.upper()}", "1") == "0":
-            continue
-        tcfg_q = dataclasses.replace(tcfg, quant_aware=qmode)
-        opt_q = ttt.make_optimizer(tcfg_q)
-        # same residency discipline as the bf16 distill: donated buffers,
-        # half-batches, bounded dispatch queue, segment-level retry — and
-        # the same TRAIN_ROWS split so the held-out rows stay clean
-        step_q = jax.jit(lambda dp, os_, tp, b: ttt.train_step(
-            dp, os_, tp, cfg, dcfg, tcfg_q, opt_q, b), donate_argnums=(0, 1))
-        dparams_q = jax.tree.map(lambda x: jnp.array(x, copy=True),
-                                 dict(dparams0))
-        opt_state_q = opt_q.init(ttt.partition_trainable(dparams_q)[0])
-        dparams_q, opt_state_q, mq = distill_resilient(
-            dparams_q, opt_state_q, data[:TRAIN_ROWS],
-            max(DISTILL_SNAPSHOTS), step_fn=step_q)
-        del opt_state_q
-        ecfg_q = dataclasses.replace(ecfg_h, draft_quant=qmode)
-        eng_q = EagleEngine(params, cfg, dparams_q, dcfg, ecfg_q)
-        log(f"[bench] {qmode} QAT distill acc={np.asarray(mq.accs)}")
+
+    def run_qat(qmode):
+        nonlocal headline, eng_best
+        path = draft_cache_path(f"{qmode}w{QAT_STEPS}")
+        tree, _meta = _load_tree(path, dtempl)
+        if tree is None:
+            tcfg_q = dataclasses.replace(tcfg, quant_aware=qmode,
+                                         lr=1e-3, warmup_steps=5)
+            opt_q = ttt.make_optimizer(tcfg_q)
+            # same residency discipline as the bf16 distill: donated
+            # buffers, half-batches, bounded dispatch queue, segment retry —
+            # and the same TRAIN_ROWS split so held-out rows stay clean
+            step_q = jax.jit(lambda dp, os_, tp, b: ttt.train_step(
+                dp, os_, tp, cfg, dcfg, tcfg_q, opt_q, b),
+                donate_argnums=(0, 1))
+            dparams_q = jax.tree.map(jnp.asarray, snapshots[-1][2])
+            opt_state_q = opt_q.init(ttt.partition_trainable(dparams_q)[0])
+            dparams_q, opt_state_q, mq = distill_resilient(
+                dparams_q, opt_state_q, data[:TRAIN_ROWS], QAT_STEPS,
+                step_fn=step_q)
+            del opt_state_q
+            tree = jax.tree.map(np.asarray, dparams_q)
+            del dparams_q
+            _save_tree(path, tree, {"acc0": float(np.asarray(mq.accs)[0]),
+                                    "accs": np.asarray(mq.accs).tolist()})
+            log(f"[bench] {qmode} QAT warm-start {QAT_STEPS} steps: "
+                f"acc={np.asarray(mq.accs)}")
+        ecfg_q = dataclasses.replace(ecfg, draft_quant=qmode)
+        eng_q = EagleEngine(params, cfg, jax.tree.map(jnp.asarray, tree),
+                            dcfg, ecfg_q)
         tau_q, round_q, _ = measure_engine(eng_q, reps=2)
         sp_q = (tau_q * 1e3 / round_q) / vanilla_tps
         quant_results[qmode] = {
@@ -463,13 +566,103 @@ def main():
             headline = {"operating_point": f"{qmode}_qat_draft",
                         **quant_results[qmode]}
             eng_best = eng_q
-        del eng_q, dparams_q  # loser (or superseded) engine frees here
-    # speedup-vs-τ curve at the headline round time (τ-independent shapes)
+
+    for qmode in ("int4", "int8"):
+        if os.environ.get(f"BENCH_{qmode.upper()}", "1") == "0":
+            continue
+        cached = os.path.exists(draft_cache_path(f"{qmode}w{QAT_STEPS}"))
+        est = 80 + (0 if cached else QAT_STEPS * sec_per_step + 60)
+        stage(f"qat_{qmode}", est, lambda q=qmode: run_qat(q))
+
+    # speedup-vs-τ curve at the headline round time (τ-independent shapes).
+    # speedup_at_tau5 rides in the headline block: it is the TRANSFERABLE
+    # number (τ=5 = published EAGLE-3 range), whereas "speedup" is the
+    # memorization-ceiling point of this random-weight emulation.
     speedup_at = {str(t): round((t * 1e3 / headline["round_ms"])
                                 / vanilla_tps, 2)
                   for t in (3, 4, 5, 6, 7)}
+    headline["speedup_at_tau5"] = speedup_at["5"]
     best_tps = headline["tau"] * 1e3 / headline["round_ms"]
     log(f"[bench] headline operating point: {headline}")
+
+    # ---- τ-sweep: measured speedup at the earlier distillation snapshots
+    # (the 200-step point IS the bf16 headline measurement above)
+    sweep = [{"distill_steps": snapshots[-1][0],
+              "acc0": round(snapshots[-1][1], 3), "tau": round(tau, 2),
+              "round_ms": round(round_ms, 2), "speedup": round(speedup, 2)}]
+
+    def run_sweep():
+        for step_i, acc0, dp_host in snapshots[:-1]:
+            eng.dparams = jax.tree.map(jnp.asarray, dp_host)
+            tau_i, round_i, _ = measure_engine(eng, reps=2)
+            sp_i = (tau_i * 1e3 / round_i) / vanilla_tps
+            sweep.append({"distill_steps": step_i, "acc0": round(acc0, 3),
+                          "tau": round(tau_i, 2),
+                          "round_ms": round(round_i, 2),
+                          "speedup": round(sp_i, 2)})
+            log(f"[bench] sweep step={step_i} acc0={acc0:.3f} "
+                f"tau={tau_i:.2f} round={round_i:.2f}ms speedup={sp_i:.2f}x")
+        eng.dparams = jax.tree.map(jnp.asarray, snapshots[-1][2])
+        sweep.sort(key=lambda s: s["distill_steps"])
+
+    stage("tau_sweep", 70, run_sweep)
+
+    # ---- held-out τ: corpus rows the draft never trained on. Expected ≈1
+    # for a random-weight target (nothing generalizable to learn — see
+    # module docstring); reported as the memorization disclosure. Plus the
+    # free-running τ (no forced replay): collapses once a ulp-flip knocks
+    # the trajectory off-corpus — reported for honesty, never headline.
+    extra = {}
+
+    def run_heldout():
+        heldout_idxs = tuple(range(TRAIN_ROWS, B))
+        tau_ho, round_ho, _ = measure_engine(eng, idxs=heldout_idxs, reps=2)
+        log(f"[bench] held-out rows {heldout_idxs}: tau={tau_ho:.2f} "
+            f"round={round_ho:.2f}ms")
+        extra["tau_heldout"] = round(tau_ho, 2)
+
+    def run_free():
+        tau_free, _, _ = measure_engine(eng, idxs=(0, 1), reps=2,
+                                        forced=False)
+        extra["tau_free"] = round(tau_free, 2)
+
+    stage("tau_heldout", 50, run_heldout)
+    stage("tau_free", 40, run_free)
+
+    # ---- kernel A/B at full scale: attention (xla vs pallas_tree) x
+    # compaction (xla vs pallas). Compaction must be bit-transparent per
+    # attention impl (pure row moves) — asserted via a free-running output
+    # comparison (identical cache bits ⇒ identical trajectory). Across
+    # attention impls only round TIME is compared: the Pallas flash kernel's
+    # online-softmax reduction order differs from XLA's by ~1 bf16 ulp,
+    # which legitimately flips greedy argmaxes over a random-weight target.
+    ab = {}
+
+    def run_ab():
+        for attn in ("xla", "pallas_tree"):
+            ref_out = None
+            for compact in ("xla", "pallas"):
+                cfg_ab = dataclasses.replace(cfg, attn_impl=attn)
+                ecfg_ab = dataclasses.replace(ecfg, compact_impl=compact)
+                e_ab = EagleEngine(params, cfg_ab, eng.dparams, dcfg,
+                                   ecfg_ab)
+                out = retry_flake(lambda: e_ab.generate_fused(
+                    test_prompt, max_new_tokens=HI))
+                if ref_out is None:
+                    ref_out = out
+                else:
+                    n = min(len(ref_out), len(out))
+                    assert np.array_equal(out[:n], ref_out[:n]), (
+                        f"compaction changed outputs: attn={attn}")
+                tau_ab, round_ab, _ = measure_engine(e_ab, idxs=(0, 1),
+                                                     reps=2)
+                ab[f"{attn}+{compact}"] = round(round_ab, 2)
+                log(f"[bench] A/B attn={attn} compact={compact}: "
+                    f"round={round_ab:.2f}ms (tau={tau_ab:.2f})")
+        best_combo = min(ab, key=ab.get)
+        log(f"[bench] A/B best: {best_combo} ({ab[best_combo]:.2f}ms)")
+
+    stage("kernel_ab", 180, run_ab)
 
     # ---- batched serving: aggregate tokens/s at B in {1, 4, 8} on the
     # headline engine. Forced replay per sequence (same reasoning as B=1:
@@ -491,11 +684,14 @@ def main():
         tb_hi, n_hi = timed(lambda: run_batch(HI), n=2)
         return (n_hi - n_lo) / (tb_hi - tb_lo)
 
-    for Bs in (4, 8):
-        agg = agg_tps(eng_best, Bs)
-        serving[str(Bs)] = round(agg, 1)
-        log(f"[bench] serving B={Bs}: {agg:.1f} aggregate tok/s "
-            f"({agg / best_tps:.2f}x of B=1)")
+    def run_serving():
+        for Bs in (4, 8):
+            agg = agg_tps(eng_best, Bs)
+            serving[str(Bs)] = round(agg, 1)
+            log(f"[bench] serving B={Bs}: {agg:.1f} aggregate tok/s "
+                f"({agg / best_tps:.2f}x of B=1)")
+
+    stage("serving", 150, run_serving)
 
     # ---- serving-calibrated tree at B=8: the batched round is verify-
     # compute-bound (B·tree_size tokens through the target each step), so
@@ -504,28 +700,35 @@ def main():
     # params-sharing siblings (engine.with_tree); smaller depth lowers the
     # per-round commit bound, so this trades τ for round time — the JSON
     # records the whole frontier and serving["8"] picks the best.
-    serving_tree_b8 = {f"{ecfg.total_tokens}/d{ecfg.depth}": serving["8"]}
-    for tt, dd in ((47, 6), (31, 5)):
-        agg = agg_tps(eng_best.with_tree(total_tokens=tt, depth=dd), 8)
-        serving_tree_b8[f"{tt}/d{dd}"] = round(agg, 1)
-        log(f"[bench] serving B=8 tree={tt}/d{dd}: {agg:.1f} aggregate "
-            f"tok/s ({agg / best_tps:.2f}x of B=1)")
-    serving["8"] = max(serving_tree_b8.values())
+    serving_tree_b8 = {}
 
+    def run_tree_b8():
+        serving_tree_b8[f"{ecfg.total_tokens}/d{ecfg.depth}"] = serving["8"]
+        for tt, dd in ((47, 6), (31, 5)):
+            agg = agg_tps(eng_best.with_tree(total_tokens=tt, depth=dd), 8)
+            serving_tree_b8[f"{tt}/d{dd}"] = round(agg, 1)
+            log(f"[bench] serving B=8 tree={tt}/d{dd}: {agg:.1f} aggregate "
+                f"tok/s ({agg / best_tps:.2f}x of B=1)")
+        serving["8"] = max(serving_tree_b8.values())
+
+    if "8" in serving:
+        stage("serving_tree_b8", 150, run_tree_b8)
+
+    log(f"[bench] total {time.time()-t0:.0f}s "
+        f"(budget {BUDGET_S:.0f}s)")
     print(json.dumps({
         "metric": "e2e_speedup_vs_vanilla",
         "value": headline["speedup"],
         "unit": "x",
         "vs_baseline": round(headline["speedup"] / 3.0, 3),
         "headline": headline,
+        "speedup_at_tau5": headline["speedup_at_tau5"],
         "target_params_b": round(n_target_params / 1e9, 2),
         "vanilla_tps": round(vanilla_tps, 1),
         "eagle_tps_bf16": round(eagle_tps, 1),
         "speedup_bf16": round(speedup, 3),
         "tau": round(tau, 2),
-        "tau_heldout": round(tau_ho, 2),
         "speedup_at_tau": speedup_at,
-        "tau_free": round(tau_free, 2),
         "live_agreement": round(live, 3),
         "prefill_tps": round(prefill_tps, 0),
         "mfu_prefill": round(mfu_prefill, 3),
@@ -533,10 +736,11 @@ def main():
         "vanilla_step_ms": round(vstep_ms, 2),
         "mbu_vanilla": round(mbu_vanilla, 3),
         "mfu_round": round(mfu_round, 3),
-        "kernel_ab_round_ms": ab,
         "speedup_vs_tau": sweep,
-        "serving_agg_tps": serving,
-        "serving_tree_b8": serving_tree_b8,
+        **extra,                                   # tau_heldout, tau_free
+        **({"kernel_ab_round_ms": ab} if ab else {}),
+        **({"serving_agg_tps": serving} if "8" in serving else {}),
+        **({"serving_tree_b8": serving_tree_b8} if serving_tree_b8 else {}),
         **({f"{q}_qat": r for q, r in quant_results.items()}),
     }))
 
