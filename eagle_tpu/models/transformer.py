@@ -102,13 +102,34 @@ def _mlp_moe(h: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
     top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)  # renormalize top-k
     combine = jax.nn.one_hot(top_i, E, dtype=jnp.float32) * top_p[..., None]
     combine = jnp.sum(combine, axis=2)  # [B, T, E]
-    gate = jnp.einsum("bth,ehf->btef", h, lp["we_gate"].astype(h.dtype),
-                      preferred_element_type=jnp.float32).astype(h.dtype)
-    up = jnp.einsum("bth,ehf->btef", h, lp["we_up"].astype(h.dtype),
-                    preferred_element_type=jnp.float32).astype(h.dtype)
-    act = jax.nn.silu(gate) * up
-    out = jnp.einsum("btef,efh->bteh", act, lp["we_down"].astype(h.dtype),
-                     preferred_element_type=jnp.float32)
+    if isinstance(lp["we_gate"], dict):
+        # int8 expert banks (ops/quant.quantize_target_params): dynamic
+        # per-token activation quantization, int8×int8 batched dots with
+        # int32 accumulation, rescaled by (row ⊗ per-(expert, channel))
+        # scales — the E× FFN weight streaming halves, which is the whole
+        # decode cost of a Mixtral-class target
+        from ..ops.quant import quantize_rows
+        xq, sx = quantize_rows(h)                         # [B,T,H], [B,T,1]
+        gate = (jnp.einsum("bth,ehf->btef", xq, lp["we_gate"]["q8"],
+                           preferred_element_type=jnp.int32)
+                .astype(jnp.float32) * sx[..., None]
+                * lp["we_gate"]["scale"]).astype(h.dtype)
+        up = (jnp.einsum("bth,ehf->btef", xq, lp["we_up"]["q8"],
+                         preferred_element_type=jnp.int32)
+              .astype(jnp.float32) * sx[..., None]
+              * lp["we_up"]["scale"]).astype(h.dtype)
+        aq, sa = quantize_rows(jax.nn.silu(gate) * up)    # [B,T,E,F]
+        out = (jnp.einsum("btef,efh->bteh", aq, lp["we_down"]["q8"],
+                          preferred_element_type=jnp.int32)
+               .astype(jnp.float32) * sa * lp["we_down"]["scale"])
+    else:
+        gate = jnp.einsum("bth,ehf->btef", h, lp["we_gate"].astype(h.dtype),
+                          preferred_element_type=jnp.float32).astype(h.dtype)
+        up = jnp.einsum("bth,ehf->btef", h, lp["we_up"].astype(h.dtype),
+                        preferred_element_type=jnp.float32).astype(h.dtype)
+        act = jax.nn.silu(gate) * up
+        out = jnp.einsum("btef,efh->bteh", act, lp["we_down"].astype(h.dtype),
+                         preferred_element_type=jnp.float32)
     return jnp.sum(out * combine[..., None].astype(out.dtype), axis=2).astype(h.dtype)
 
 
@@ -145,13 +166,32 @@ def _mlp_moe_capacity(h: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray
     disp = disp.at[jnp.where(keep, flat_e, 0),
                    jnp.where(keep, pos, 0)].add(
         jnp.where(keep[:, None], x_rep, 0))
-    gate = jnp.einsum("ech,ehf->ecf", disp, lp["we_gate"].astype(x.dtype),
-                      preferred_element_type=jnp.float32).astype(x.dtype)
-    up = jnp.einsum("ech,ehf->ecf", disp, lp["we_up"].astype(x.dtype),
-                    preferred_element_type=jnp.float32).astype(x.dtype)
-    out_e = jnp.einsum("ecf,efh->ech", jax.nn.silu(gate) * up,
-                       lp["we_down"].astype(x.dtype),
-                       preferred_element_type=jnp.float32)
+    if isinstance(lp["we_gate"], dict):
+        # int8 expert banks: same rule as _mlp_moe's quantized branch, with
+        # per-(expert, slot) activation rows (the dispatched buffers)
+        from ..ops.quant import quantize_rows
+        dq, sd = quantize_rows(disp)                      # [E,C,H], [E,C,1]
+        gate = (jnp.einsum("ech,ehf->ecf", dq, lp["we_gate"]["q8"],
+                           preferred_element_type=jnp.int32)
+                .astype(jnp.float32) * sd
+                * lp["we_gate"]["scale"][:, None, :]).astype(x.dtype)
+        up = (jnp.einsum("ech,ehf->ecf", dq, lp["we_up"]["q8"],
+                         preferred_element_type=jnp.int32)
+              .astype(jnp.float32) * sd
+              * lp["we_up"]["scale"][:, None, :]).astype(x.dtype)
+        aq, sa = quantize_rows(jax.nn.silu(gate) * up)    # [E,C,F]
+        out_e = (jnp.einsum("ecf,efh->ech", aq, lp["we_down"]["q8"],
+                            preferred_element_type=jnp.int32)
+                 .astype(jnp.float32) * sa
+                 * lp["we_down"]["scale"][:, None, :])
+    else:
+        gate = jnp.einsum("ech,ehf->ecf", disp, lp["we_gate"].astype(x.dtype),
+                          preferred_element_type=jnp.float32).astype(x.dtype)
+        up = jnp.einsum("ech,ehf->ecf", disp, lp["we_up"].astype(x.dtype),
+                        preferred_element_type=jnp.float32).astype(x.dtype)
+        out_e = jnp.einsum("ecf,efh->ech", jax.nn.silu(gate) * up,
+                           lp["we_down"].astype(x.dtype),
+                           preferred_element_type=jnp.float32)
     picked = out_e[jnp.where(keep, flat_e, 0), jnp.where(keep, pos, 0)]
     w = (top_p.reshape(-1) * keep).astype(picked.dtype)
     y = jnp.sum((picked * w[:, None]).reshape(N, k, H), axis=1)

@@ -59,6 +59,21 @@ _QUANT_KEYS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 # drafts may carry fused projections (models/draft.fuse_projections);
 # per-output-column scales make quantize(concat) == concat(quantize)
 _DRAFT_QUANT_KEYS = _QUANT_KEYS + ("wqkv", "wgu")
+# Mixtral expert banks ([.., E, K, N] — batched-einsum path, not _dense):
+# exactly where weight-only quantization matters most (E× the FFN weight
+# footprint streams every decode step, modeling_mixtral_kv.py:449-517)
+_EXPERT_QUANT_KEYS = ("we_gate", "we_up", "we_down")
+
+
+def quantize_rows(x: jnp.ndarray):
+    """Per-row dynamic symmetric int8 activation quantization over the
+    LAST axis (the same rule as qdense's inline path, factored out for the
+    expert-bank einsums): x [.., K] -> (int8 [.., K], f32 scales [.., 1])."""
+    xf = x.astype(jnp.float32)
+    xmax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12)
+    sx = xmax / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return xq, sx
 
 
 def quantize_draft_params(dparams: dict) -> dict:
@@ -103,9 +118,12 @@ def quantize_target_params(params: dict) -> dict:
 
     The target's layer weights are stacked [L, in, out] (scanned in
     transformer.forward); after the scan slices them, `_dense` sees the
-    same {"q8", "scale"} dicts as the draft path. Embeddings, norms,
-    biases and MoE expert banks (einsum path, not `_dense`) stay
-    unquantized. Quantization runs on the HOST (numpy): a one-time offline
+    same {"q8", "scale"} dicts as the draft path. MoE expert banks
+    ([L, E, K, N] — _EXPERT_QUANT_KEYS) quantize the same way with
+    per-(expert, output-channel) scales; the batched-einsum consumers in
+    transformer._mlp_moe{,_capacity} run int8×int8 dots. Embeddings,
+    norms, biases and the MoE router (tiny) stay unquantized.
+    Quantization runs on the HOST (numpy): a one-time offline
     conversion — doing it eagerly on-device would stage ~fp32 copies of
     every stacked weight next to the resident bf16 tree and OOM a 4B+
     model on one chip.
@@ -122,7 +140,7 @@ def quantize_target_params(params: dict) -> dict:
     """
     out = dict(params)
     layers = dict(params["layers"])
-    for k in _QUANT_KEYS:
+    for k in _QUANT_KEYS + _EXPERT_QUANT_KEYS:
         if k in layers and not isinstance(layers[k], dict):
             layers[k] = _quantize_linear_host(layers[k])
     out["layers"] = layers

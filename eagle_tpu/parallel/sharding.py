@@ -95,8 +95,12 @@ def quantized_target_param_specs(cfg: ModelConfig) -> dict:
     all — so the sharded engine's greedy output is bit-identical to the
     unsharded int8 engine's (pinned by test_sharding.py).
 
+    MoE expert banks ([L, E, K, N], EP-sharded on E) quantize to
+    q8 [L, E, K, N] / scale [L, E, N] — the same drop-the-contraction-axis
+    rule; the expert axis keeps its "model" sharding on both leaves.
+
     For int4 targets use quantized_target_param_specs4."""
-    from ..ops.quant import _QUANT_KEYS
+    from ..ops.quant import _EXPERT_QUANT_KEYS, _QUANT_KEYS
 
     specs = target_param_specs(cfg)
 
@@ -105,7 +109,7 @@ def quantized_target_param_specs(cfg: ModelConfig) -> dict:
         return {"q8": spec, "scale": P(*lead, spec[-1])}
 
     layers = dict(specs["layers"])
-    for k in _QUANT_KEYS:
+    for k in _QUANT_KEYS + _EXPERT_QUANT_KEYS:
         if k in layers:
             layers[k] = q(layers[k])
     specs["layers"] = layers

@@ -1,9 +1,14 @@
 """MoE decode on real TPU: dense vs capacity expert dispatch at a ~2B
-Mixtral-style target (8 experts, top-2). Validates the PARITY claim that
-dense dispatch is the right default at decode: with 64 tree tokens x top-2
-routing, essentially every expert is hit every round, so all expert
-weights stream from HBM either way and capacity dispatch only adds
-scatter/gather overhead.
+Mixtral-style target (8 experts, top-2), bf16 vs int8-quantized expert
+banks (ops/quant.quantize_target_params now covers we_gate/we_up/we_down).
+Validates two PARITY claims:
+- dense dispatch is the right default at decode: with 64 tree tokens x
+  top-2 routing, essentially every expert is hit every round, so all
+  expert weights stream from HBM either way and capacity dispatch only
+  adds scatter/gather overhead;
+- quantizing the expert banks (8x the FFN weight footprint) is where
+  weight-only int8 pays most — the int8 decode step should approach half
+  the bf16 step (weight-streaming bound).
 Run: python tools/bench_moe.py  (real TPU, ~15 min cold)
 Measured 2026-08-17 (PARITY.md): 3.97 GB 8-expert top-2 target —
 dense vanilla 5.37 ms (MBU 0.90), round 7.09 ms; capacity 5.43/7.31.
@@ -72,3 +77,57 @@ for impl in ("dense", "capacity"):
 # bit-exactness across dispatch impls is NOT expected (different reduction
 # grouping); greedy spec==vanilla within each impl is what the test suite
 # asserts. Here we just report both times.
+
+# ---- int8-quantized expert banks (dense dispatch, the decode default).
+# Quantize on the host (same discipline as bench.py targets), free the
+# bf16 tree first so both don't co-reside.
+from eagle_tpu.ops import quant
+
+host_params = jax.tree.map(np.asarray, params)
+del params, eng
+qparams_h = quant.quantize_target_params(host_params)
+del host_params
+qparams = jax.tree.map(jnp.asarray, qparams_h)
+del qparams_h
+qbytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(qparams))
+print(f"int8 MoE target {qbytes/1e9:.2f} GB", flush=True)
+cfg = ModelConfig(vocab_size=V, hidden_size=H, intermediate_size=F,
+                  num_layers=L, num_q_heads=NQ, num_kv_heads=NKV,
+                  head_dim=D, rope=RopeConfig(theta=500000.0),
+                  dtype=jnp.bfloat16, num_experts=E, experts_per_token=2,
+                  moe_impl="dense")
+ecfg = EngineConfig(total_tokens=63, depth=7, top_k=10, max_len=1024,
+                    kv_buckets=(256, 512), draft_quant="int8")
+eng = EagleEngine(qparams, cfg, dparams, dcfg, ecfg)
+
+# greedy spec vs the quantized target's own vanilla decode. On a
+# RANDOM-weight target the agreement is not bitwise on TPU: XLA regroups
+# reductions differently for T=1 vs T=64 programs, and random weights have
+# ulp-scale argmax margins (the same effect the main bench discloses as
+# live_agreement≈0.87; real trained targets have real margins). The
+# bitwise invariant is pinned by the CPU suite
+# (tests/test_quant.py::test_int8_moe_target_greedy_bit_exact_within_engine);
+# here we sanity-check the agreement fraction only.
+ref = retry(lambda: eng.generate_vanilla(prompt, max_new_tokens=48,
+                                         fused=True))
+out = retry(lambda: eng.generate_fused(prompt, max_new_tokens=48))
+n = min(len(ref), len(out))
+agree = float(np.mean(np.asarray(ref)[:n] == np.asarray(out)[:n]))
+assert agree > 0.5, f"int8 MoE spec/vanilla agreement collapsed: {agree}"
+print(f"int8 MoE spec/vanilla agreement {agree:.3f} "
+      f"(random-weight ulp flips expected; CPU suite pins bitwise)",
+      flush=True)
+
+tv_lo = timed(lambda: retry(lambda: eng.generate_vanilla(
+    prompt, max_new_tokens=LO, fused=True)))
+tv_hi = timed(lambda: retry(lambda: eng.generate_vanilla(
+    prompt, max_new_tokens=HI, fused=True)))
+vstep_q = 1e3 * (tv_hi - tv_lo) / (HI - LO)
+te_lo = timed(lambda: run(LO)); o_lo = run(LO)
+te_hi = timed(lambda: run(HI)); o_hi = run(HI)
+dr = max(o_hi[2] - o_lo[2], 1)
+round_q = 1e3 * (te_hi - te_lo) / dr
+mbu_q = (qbytes / (vstep_q / 1e3)) / 819e9
+print(f"moe int8 dense: vanilla step {vstep_q:.2f}ms (MBU {mbu_q:.2f}; "
+      f"bf16 was {results['dense'][0]:.2f}ms) | round {round_q:.2f}ms | "
+      f"speedup@tau6 = {6 * vstep_q / round_q:.2f}x", flush=True)
