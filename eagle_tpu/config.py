@@ -307,6 +307,13 @@ class EngineConfig:
     # step; bitwise-identical for quantized drafts (per-output-column
     # scales), numerically identical for bf16. Off switch for A/B only.
     fuse_draft: bool = True
+    # fuse the beam loop's draft scoring (lm_head matmul + log_softmax +
+    # top-k) into one Pallas call (ops/score_topk.py) — applies to
+    # quantized draft heads on TPU; candidate ids bit-identical to the XLA
+    # path, scores within ~1 ulp (block-sequential logsumexp). Greedy
+    # speculative output remains bit-exact vs vanilla (acceptance only
+    # commits target-verified tokens). Off switch for A/B.
+    fuse_scoring: bool = True
 
     @property
     def tree_size(self) -> int:

@@ -64,6 +64,36 @@ def topk_rows(x: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     return vals, idxs
 
 
+def score_topk(dparams: dict, dcfg: DraftConfig, ecfg: EngineConfig,
+               hidden: jnp.ndarray, target_lm_head, k: int):
+    """Log-softmax top-k (scores [M, k] f32, draft-vocab ids [M, k] int32)
+    of the draft scoring head over [M, H] hidden rows.
+
+    Quantized heads on TPU (or under ops.score_topk.FORCE_INTERPRET) run
+    the fused Pallas kernel — one dispatch instead of the ~15-op
+    matmul → log_softmax → k-pass top-k chain, the beam loop's single
+    largest dispatch-overhead block (tools/profile_round.py). Candidate
+    ids are bit-identical either way (same logit values, same tie rule);
+    scores differ by ~1 ulp of logsumexp reduction order, which never
+    affects the greedy == vanilla invariant (acceptance only commits
+    target-verified tokens)."""
+    from ..ops import score_topk as stk
+
+    w = target_lm_head if dcfg.version == 1 else dparams["lm_head"]
+    if (ecfg.fuse_scoring and isinstance(w, dict)
+            and (jax.default_backend() == "tpu" or stk.FORCE_INTERPRET)):
+        from ..models.transformer import rms_norm
+
+        h = (hidden if dcfg.version == 1
+             else rms_norm(hidden, dparams["norm"], dcfg.rms_eps))
+        lp, ids = stk.score_topk_quant(
+            h, w, k, interpret=jax.default_backend() != "tpu")
+        return lp, ids
+    logits = draft_mod.draft_logits(dparams, dcfg, hidden, target_lm_head)
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    return topk_rows(lp, k)
+
+
 class DraftRound(NamedTuple):
     tree: Tree
     dcache: KVCache  # committed draft cache (length excludes beam scratch)
@@ -283,10 +313,9 @@ def draft_round(dparams: dict, dcfg: DraftConfig, ecfg: EngineConfig,
     cache = dres.cache
 
     # ---- 2. root candidates (cnets.py:700-713)
-    root_logits = draft_mod.draft_logits(dparams, dcfg, root_hidden,
-                                         target_lm_head)  # [dV] fp32
-    root_lp = jax.nn.log_softmax(root_logits, axis=-1)
-    root_p, root_i = topk_rows(root_lp, k)                # [k], [k]
+    root_p, root_i = score_topk(dparams, dcfg, ecfg, root_hidden[None],
+                                target_lm_head, k)
+    root_p, root_i = root_p[0], root_i[0]                 # [k], [k]
     root_tok = draft_mod.map_draft_to_target(dparams, dcfg, root_i)
 
     # ---- 3. beam expansion (cnets.py:719-757)
@@ -310,9 +339,8 @@ def draft_round(dparams: dict, dcfg: DraftConfig, ecfg: EngineConfig,
         res = draft_mod.forward(dparams, dcfg, carry["tokens"][None],
                                 carry["hidden"][None], beam_cache, bpos, bmask)
         hid = res.hidden[0]                               # [k, H]
-        logits = draft_mod.draft_logits(dparams, dcfg, hid, target_lm_head)
-        lp = jax.nn.log_softmax(logits, axis=-1)          # [k, dV]
-        tk_p, tk_i = topk_rows(lp, k)                     # [k, k]
+        tk_p, tk_i = score_topk(dparams, dcfg, ecfg, hid,
+                                target_lm_head, k)        # [k, k]
         cand_tok = draft_mod.map_draft_to_target(dparams, dcfg, tk_i)
         cu = tk_p + carry["scores"][:, None]              # [k, k]
         cs_p, cs_i = jax.lax.top_k(cu.reshape(-1), k)     # global beam rerank
