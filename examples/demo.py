@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 import jax
+
+if os.environ.get("DEMO_CPU"):
+    # quick CPU drive (the environment's sitecustomize pins the remote TPU
+    # plugin regardless of JAX_PLATFORMS; this is the documented override)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from eagle_tpu.config import DraftConfig, EngineConfig, ModelConfig
