@@ -246,7 +246,7 @@ def _compact_kernel(path_ref, start_ref, k_ref, v_ref, ok_ref, ov_ref,
 
 def compact_rows(k: jnp.ndarray, v: jnp.ndarray, path: jnp.ndarray,
                  start: jnp.ndarray, tree_size: int,
-                 interpret: bool = False):
+                 interpret: bool = False, force: bool = False):
     """In-place Pallas variant of ops.kv_cache.compact_accepted's row moves.
 
     k/v: [L, 1, n_kv, S, d] (donated → truly in place); path: [P] node
@@ -256,10 +256,11 @@ def compact_rows(k: jnp.ndarray, v: jnp.ndarray, path: jnp.ndarray,
     attended. Requires start + tree_size + 16 ≤ S.
     """
     L, B, n_kv, S, d = k.shape
-    if d % 128 != 0 and not interpret:
+    if d % 128 != 0 and not interpret and not force:
         raise NotImplementedError(
             "compact_rows needs head_dim % 128 == 0 for Mosaic lane-aligned "
-            "HBM DMAs; use ops.kv_cache.compact_accepted (XLA) otherwise")
+            "HBM DMAs; use ops.kv_cache.compact_accepted (XLA) otherwise "
+            "(force=True bypasses the guard for experiments)")
     P0 = path.shape[0]
     P = -(-P0 // 8) * 8
     T = -(-tree_size // 8) * 8

@@ -8,6 +8,11 @@ matters):
   one_dot    : unpack + ONE int8 dot per half (K/2 contraction), scales
                applied per half (wrong math; times the big-dot structure)
   dots8      : like full but group=1024 (4 groups instead of 32)
+  fused_unpack : i32 words, unpack PER GROUP inside the dot loop (never
+               materializes the full [K/2, bn] planes) — halves the VMEM
+               footprint so bn can reach 2048; exact math
+  batched_dot : i32 words, plane unpack + ONE batched dot_general over all
+               groups ([G, M, bn] int32) + f32 scale reduction; exact math
 
 Run: python tools/probe_w4_ablate.py
 """
@@ -35,10 +40,34 @@ def make_kernel(mode, group):
         p = p_ref[:]
         NB = p.shape[1]
         xq = xq_ref[:]
+        if mode == "fused_unpack":
+            # never materialize the planes: slice `group` K-rows' worth of
+            # words (group//4 word rows carry lo rows [g·group,(g+1)·group)
+            # AND the matching hi rows), unpack, dot, accumulate — exact
+            wpg = group // 4
+            acc = jnp.zeros((M, NB), jnp.float32)
+            for g in range(hg):
+                pw = p[g * wpg:(g + 1) * wpg, :]
+                l8 = pltpu.bitcast(pw & 0x0F0F0F0F, jnp.int8)
+                h8 = pltpu.bitcast((pw >> 4) & 0x0F0F0F0F, jnp.int8)
+                dlo = jax.lax.dot_general(
+                    xq[:, g * group:(g + 1) * group], l8,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                dhi = jax.lax.dot_general(
+                    xq[:, K // 2 + g * group:K // 2 + (g + 1) * group], h8,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                acc += ((dlo - rs_ref[:, g:g + 1]).astype(jnp.float32)
+                        * s_ref[g, :][None, :])
+                acc += ((dhi - rs_ref[:, hg + g:hg + g + 1])
+                        .astype(jnp.float32) * s_ref[hg + g, :][None, :])
+            out_ref[:] = acc
+            return
         if mode == "no_unpack":
             lo = p.astype(jnp.int8)
             hi = lo
-        elif mode == "i32_storage":
+        elif mode in ("i32_storage", "batched_dot"):
             # packed words arrive as int32 [K/8, NB] (native i32 DMA
             # tiling); unpack straight from the words
             lo = pltpu.bitcast(p & 0x0F0F0F0F, jnp.int8)     # [K/2, NB]
@@ -49,6 +78,24 @@ def make_kernel(mode, group):
             hi = pltpu.bitcast((w32 >> 4) & 0x0F0F0F0F,
                                jnp.uint8).astype(jnp.int8)
         acc = jnp.zeros((M, NB), jnp.float32)
+        if mode == "batched_dot":
+            xl = jnp.transpose(
+                xq[:, :K // 2].reshape(M, hg, group), (1, 0, 2))
+            xh = jnp.transpose(
+                xq[:, K // 2:].reshape(M, hg, group), (1, 0, 2))
+            dl = jax.lax.dot_general(
+                xl, lo.reshape(hg, group, NB),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)            # [hg, M, NB]
+            dh = jax.lax.dot_general(
+                xh, hi.reshape(hg, group, NB),
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)
+            d_all = jnp.concatenate([dl, dh], axis=0)        # [G, M, NB]
+            corr = d_all - jnp.transpose(rs_ref[:], (1, 0))[:, :, None]
+            out_ref[:] = jnp.sum(
+                corr.astype(jnp.float32) * s_ref[:][:, None, :], axis=0)
+            return
         if mode == "no_dots":
             acc += jnp.sum(lo.astype(jnp.float32), axis=0)[None, :]
             acc += jnp.sum(hi.astype(jnp.float32), axis=0)[None, :]
@@ -98,8 +145,9 @@ def make_kernel(mode, group):
 def run_mode(mode, group=GROUP, block_n=256, parallel=False):
     G = K // group
     kern = make_kernel(mode, group)
-    p_rows = K // 8 if mode == "i32_storage" else K // 2
-    p_dtype = jnp.int32 if mode == "i32_storage" else jnp.uint8
+    i32_modes = ("i32_storage", "fused_unpack", "batched_dot")
+    p_rows = K // 8 if mode in i32_modes else K // 2
+    p_dtype = jnp.int32 if mode in i32_modes else jnp.uint8
     cp = (pltpu.CompilerParams(dimension_semantics=("parallel",))
           if parallel else None)
 
@@ -133,7 +181,7 @@ def run_mode(mode, group=GROUP, block_n=256, parallel=False):
         return c
 
     key = jax.random.PRNGKey(0)
-    if mode == "i32_storage":
+    if mode in i32_modes:
         bank_p = jax.random.randint(key, (S, K // 8, N), -2**31, 2**31 - 1,
                                     jnp.int32)
     else:
@@ -161,7 +209,16 @@ def run_mode(mode, group=GROUP, block_n=256, parallel=False):
 
 
 if __name__ == "__main__":
+    import sys
     print(f"[ablate] S={S} K={K} N={N} M={M}", flush=True)
-    for mode in ("full", "i32_storage", "no_unpack"):
-        run_mode(mode)
-        run_mode(mode, block_n=1024)
+    if len(sys.argv) > 1 and sys.argv[1] == "r4":
+        # round-4 sweep: the roofline-gap candidates (VERDICT #6)
+        run_mode("i32_storage", block_n=1024)
+        run_mode("fused_unpack", block_n=1024)
+        run_mode("fused_unpack", block_n=2048)
+        run_mode("batched_dot", block_n=1024)
+        run_mode("batched_dot", block_n=512)
+    else:
+        for mode in ("full", "i32_storage", "no_unpack"):
+            run_mode(mode)
+            run_mode(mode, block_n=1024)
