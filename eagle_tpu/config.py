@@ -308,12 +308,17 @@ class EngineConfig:
     # scales), numerically identical for bf16. Off switch for A/B only.
     fuse_draft: bool = True
     # fuse the beam loop's draft scoring (lm_head matmul + log_softmax +
-    # top-k) into one Pallas call (ops/score_topk.py) — applies to
-    # quantized draft heads on TPU; candidate ids bit-identical to the XLA
-    # path, scores within ~1 ulp (block-sequential logsumexp). Greedy
-    # speculative output remains bit-exact vs vanilla (acceptance only
-    # commits target-verified tokens). Off switch for A/B.
-    fuse_scoring: bool = True
+    # top-k) into one Pallas call (ops/score_topk.py) — quantized draft
+    # heads on TPU; candidate ids bit-identical to the XLA path, scores
+    # within ~1 ulp (block-sequential logsumexp); greedy == vanilla
+    # unaffected. Default OFF by measurement: the kernel's online
+    # top-k/logsumexp passes serialize against the matmul pipeline and
+    # cost MORE than the ~15 XLA dispatches they replace (A/B at 4B scale,
+    # tools/probe_fused_scoring.py: +0.2 ms/round for int8 AND int4
+    # drafts, even with guarded merges + f32-tile row slicing). Kept as an
+    # A/B-able experiment; the beam loop is DMA/latency-bound, not
+    # dispatch-bound, on this stack.
+    fuse_scoring: bool = False
 
     @property
     def tree_size(self) -> int:

@@ -45,6 +45,13 @@ def main(argv=None):
     ap.add_argument("--max-len", type=int, default=2048)
     ap.add_argument("--shard", type=int, default=0)
     ap.add_argument("--num-shards", type=int, default=1)
+    ap.add_argument("--tokenizer", default="auto",
+                    choices=["auto", "byte"],
+                    help="'auto' = AutoTokenizer from --base-model-path; "
+                         "'byte' = hermetic utf-8 byte tokenizer (ids = "
+                         "byte+3), for environments without downloadable "
+                         "tokenizers — exercises the full harness with "
+                         "locally-built checkpoints")
     ap.add_argument("--draft-quant", choices=["none", "int8", "int4"],
                     default="none",
                     help="weight-only draft quantization (lossless; "
@@ -70,7 +77,22 @@ def main(argv=None):
     questions = harness.load_questions(qfile, args.question_begin,
                                        args.question_end)
 
-    tok = AutoTokenizer.from_pretrained(args.base_model_path)
+    if args.tokenizer == "byte":
+        import numpy as np
+
+        tok = None
+        eos_id = None
+
+        def encode_fn(s, add_special=True):
+            return np.frombuffer(s.encode("utf-8"),
+                                 np.uint8).astype(np.int32) + 3
+
+        def decode_fn(ids):
+            b = np.clip(np.asarray(ids) - 3, 0, 255).astype(np.uint8)
+            return bytes(b).decode("utf-8", errors="replace")
+    else:
+        tok = AutoTokenizer.from_pretrained(args.base_model_path)
+        eos_id = tok.eos_token_id
     params, cfg = load_target(args.base_model_path)
     if args.mode == "eagle":
         assert args.ea_model_path, "--ea-model-path required for eagle mode"
@@ -100,19 +122,24 @@ def main(argv=None):
                         temperature=args.temperature,
                         draft_quant=args.draft_quant)
     engine = EagleEngine(params, cfg, dparams, dcfg, ecfg,
-                         eos_token_id=tok.eos_token_id)
+                         eos_token_id=eos_id)
 
     template = (harness.hf_chat_template(tok) if args.model_type == "hf"
                 else harness.CHAT_TEMPLATES[args.model_type])
-    # templates carry their own special tokens — don't re-add BOS on encode
+    if args.tokenizer != "byte":
+        # templates carry their own special tokens — don't re-add BOS
+        def encode_fn(s):
+            return tok(s, return_tensors="np",
+                       add_special_tokens=(args.model_type
+                                           in ("vicuna", "llama2",
+                                               "mixtral"))).input_ids[0]
+
+        def decode_fn(ids):
+            return tok.decode(ids, skip_special_tokens=True)
     records = harness.run_benchmark(
         harness.make_generate_fn(engine, args.mode),
-        encode_fn=lambda s: tok(s, return_tensors="np",
-                                add_special_tokens=(args.model_type
-                                                    in ("vicuna", "llama2",
-                                                        "mixtral"))
-                                ).input_ids[0],
-        decode_fn=lambda ids: tok.decode(ids, skip_special_tokens=True),
+        encode_fn=encode_fn,
+        decode_fn=decode_fn,
         questions=questions,
         out_file=args.answer_file,
         model_id=args.model_id,

@@ -258,32 +258,47 @@ def _w4_block_acc(p, xq, rs, s, *, group: int, blocks: int,
     fused score+topk kernel, ops/score_topk.py): packed words [K/8, NB] ×
     int8 activations [M, K] -> f32 [M, NB] (activation scales NOT applied;
     numerics identical for any caller — exact int dots, fixed f32 group
-    order)."""
+    order).
+
+    Unpack is FUSED into the group loop: each dot unpacks only its own
+    `group` plane rows from a group//4-row word slice, so the full
+    [K/2, NB] lo/hi planes are never materialized in VMEM. That halves the
+    kernel's VMEM footprint, which is what lets the caller raise the
+    N-block to 2048 (measured +17% end-to-end streaming at decode shapes,
+    tools/probe_w4_ablate.py r4 sweep: 24.3 -> 20.3 µs/mm at K=N=4096).
+    The f32 accumulation order (block -> half -> group, K-ascending) is
+    unchanged from the plane-materializing version, preserving bitwise
+    identity with qdense4_xla. Unpacking a slice twice (once for each
+    half) costs ~nothing: the no_unpack ablation ties fused_unpack."""
     from jax.experimental.pallas import tpu as pltpu
 
     NB = p.shape[1]
-    if interpret:
-        # the CPU interpreter lacks Mosaic's sublane-expanding bitcast;
-        # emulate the same little-endian byte order with shifts + reshape
-        bs = [(p >> (8 * i)) & 0xFF for i in range(4)]
-        b = jnp.stack(bs, axis=1).reshape(4 * p.shape[0], NB)
-        lo = (b & 0xF).astype(jnp.int8)
-        hi = ((b >> 4) & 0xF).astype(jnp.int8)
-    else:
-        lo = pltpu.bitcast(p & 0x0F0F0F0F, jnp.int8)      # [K/2, NB]
-        hi = pltpu.bitcast((p >> 4) & 0x0F0F0F0F, jnp.int8)
     K = xq.shape[1]
     Kb = K // blocks                                      # rows per block
     hgb = Kb // 2 // group                                # half-groups/block
+    wpg = group // 4                                      # word rows/group
+
+    def unpack(pw, half):
+        if interpret:
+            # the CPU interpreter lacks Mosaic's sublane-expanding bitcast;
+            # emulate the same little-endian byte order with shifts
+            bs = [(pw >> (8 * i)) & 0xFF for i in range(4)]
+            b = jnp.stack(bs, axis=1).reshape(4 * pw.shape[0], NB)
+            nib = b & 0xF if half == 0 else (b >> 4) & 0xF
+            return nib.astype(jnp.int8)
+        word = pw & 0x0F0F0F0F if half == 0 else (pw >> 4) & 0x0F0F0F0F
+        return pltpu.bitcast(word, jnp.int8)              # [group, NB]
+
     acc = jnp.zeros((xq.shape[0], NB), jnp.float32)
     g_idx = 0
     for blk in range(blocks):
-        for half, plane in ((0, lo), (1, hi)):
+        for half in (0, 1):
             for g in range(hgb):
-                r0 = blk * (Kb // 2) + g * group          # plane row
+                w0 = blk * (Kb // 8) + g * wpg            # word row
+                plane = unpack(p[w0:w0 + wpg, :], half)
                 dot = jax.lax.dot_general(
                     xq[:, g_idx * group:(g_idx + 1) * group],
-                    plane[r0:r0 + group, :],
+                    plane,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)     # [M, NB]
                 corr = dot - rs[:, g_idx:g_idx + 1]       # fold -8 bias
@@ -297,7 +312,7 @@ def _w4_block_acc(p, xq, rs, s, *, group: int, blocks: int,
                    static_argnames=("group", "blocks", "block_n",
                                     "interpret"))
 def _qdense4_pallas_2d(xq, rowsums, q4, scale, group: int = GROUP,
-                       blocks: int = 1, block_n: int = 1024,
+                       blocks: int = 1, block_n: int = 2048,
                        interpret: bool = False):
     """Grid = (N blocks, M blocks), M minor: a weight block (the big
     streamed operand) is loaded once and reused across every M block,
@@ -312,15 +327,18 @@ def _qdense4_pallas_2d(xq, rowsums, q4, scale, group: int = GROUP,
     Kw, N = q4.shape
     G = K // group
     # Block size: bigger N blocks amortize per-grid-step overhead
-    # (measured: 38% -> 47% of peak going 256 -> 1024 at K=4096,
-    # tools/probe_w4_ablate.py), but VMEM holds packed (x2 pipeline
-    # buffers) + both unpacked planes ~= 4 * (K/2 * bn) bytes — cap that
-    # at ~8 MB. The grid is ceil-divided: Pallas masks the ragged edge
-    # block itself, so N need NOT divide bn (a divisibility requirement
-    # here forced the 32000-wide draft lm_head down to bn=256 -> 125 grid
-    # steps -> ~10x the streaming ideal per scoring call; found by
+    # (measured: 38% -> 47% of peak going 256 -> 1024, and a further +17%
+    # at bn=2048 once fused unpack freed the plane VMEM,
+    # tools/probe_w4_ablate.py). VMEM per pipelined input block is now
+    # just the packed words (K/2 * bn bytes, x2 buffers); per-group
+    # unpack temporaries are ~group*bn. Budget the packed block at ~4 MB
+    # (K=12288 -> bn 640, K<=4096 -> the 2048 cap). The grid is
+    # ceil-divided: Pallas masks the ragged edge block itself, so N need
+    # NOT divide bn (a divisibility requirement here forced the
+    # 32000-wide draft lm_head down to bn=256 -> 125 grid steps -> ~10x
+    # the streaming ideal per scoring call; found by
     # tools/profile_round.py).
-    bn = max(128, min(block_n, (2 << 20) // (K // 2) // 128 * 128, N))
+    bn = max(128, min(block_n, (4 << 20) // (K // 2) // 128 * 128, N))
     # M arrives padded to a multiple of 32; use the largest block <= 128
     # that divides it (verify rounds are M=64 — padding them to 128 would
     # double the MXU/VPU work of the whole verify forward)

@@ -67,30 +67,41 @@ def _topk_passes(x, cols, k):
     return jnp.concatenate(vs, axis=-1), jnp.concatenate(is_, axis=-1)
 
 
-def _score_topk_kernel(*refs, k: int, V: int, bn: int, kind: str,
+def _score_topk_kernel(*refs, k: int, V: int, bn: int, Ms: int, kind: str,
                        group: int, interpret: bool):
     """Grid = (cdiv(V, bn),) over lm_head N-blocks; M is one block.
 
     Scratch (persists across the sequential TPU grid): running top-k
-    values/indices [M, k], running max m / sumexp s [M, 1]."""
+    values/indices [Ms, k], running max m / sumexp s [Ms, 1], plus the
+    merge working set (masked block copy, block top-k, pass count).
+
+    Cost discipline (first cut of this kernel LOST its A/B — unguarded
+    merges out-cost the dispatch overhead they save): all scoring VPU work
+    runs on Ms rows (the real row count padded to the f32 sublane tile,
+    not the int8 matmul tile), and per block the only unconditional passes
+    are the logsumexp max/exp-sum. Extraction passes are DOUBLY guarded:
+    the whole merge is skipped unless some row's block max beats its
+    current k-th value, and pass j runs only while j < max-entrant-count
+    (one comparison pass computes how many block elements can enter any
+    row's top-k — after the first few blocks this is almost always 0)."""
     from jax.experimental import pallas as pl
 
     if kind == "w4":
         (xq_ref, rs_ref, sx_ref, q_ref, s_ref,
-         lp_ref, ix_ref, sv, si, sm, ss) = refs
+         lp_ref, ix_ref, sv, si, sm, ss, lbuf, bv, bi, mc) = refs
     else:  # w8
         (xq_ref, sx_ref, q_ref, s_ref,
-         lp_ref, ix_ref, sv, si, sm, ss) = refs
+         lp_ref, ix_ref, sv, si, sm, ss, lbuf, bv, bi, mc) = refs
     j = pl.program_id(0)
     nb = pl.num_programs(0)
-    M = sv.shape[0]
 
     @pl.when(j == 0)
     def _init():
-        sv[:] = jnp.full((M, k), NEG, jnp.float32)
-        si[:] = jnp.full((M, k), BIG_I, jnp.int32)
-        sm[:] = jnp.full((M, 1), NEG, jnp.float32)
-        ss[:] = jnp.zeros((M, 1), jnp.float32)
+        sv[:] = jnp.full((Ms, k), NEG, jnp.float32)
+        si[:] = jnp.full((Ms, k), BIG_I, jnp.int32)
+        sm[:] = jnp.full((Ms, 1), NEG, jnp.float32)
+        ss[:] = jnp.zeros((Ms, 1), jnp.float32)
+        mc[0, 0] = 0
 
     # ---- block logits (same math as the standalone quantized matmuls)
     if kind == "w4":
@@ -102,24 +113,48 @@ def _score_topk_kernel(*refs, k: int, V: int, bn: int, kind: str,
             xq_ref[:], q_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
         acc = dot.astype(jnp.float32) * s_ref[:].reshape(1, -1)
-    logits = acc * sx_ref[:]                                     # [M, bn]
+    logits = acc[:Ms] * sx_ref[:Ms]                              # [Ms, bn]
     cols = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             + j * bn)
     logits = jnp.where(cols < V, logits, NEG)  # mask the ragged edge
 
-    # ---- online logsumexp
-    bm = jnp.max(logits, axis=-1, keepdims=True)                 # [M, 1]
+    # ---- online logsumexp (unconditional: 2 passes)
+    bm = jnp.max(logits, axis=-1, keepdims=True)                 # [Ms, 1]
     m_new = jnp.maximum(sm[:], bm)
     ss[:] = (ss[:] * jnp.exp(sm[:] - m_new)
              + jnp.sum(jnp.exp(logits - m_new), axis=-1, keepdims=True))
     sm[:] = m_new
 
-    # ---- online top-k merge, skipped when no row can improve
-    @pl.when(jnp.any(bm[:, 0] > sv[:, k - 1]))
+    # ---- guarded top-k merge
+    kth = sv[:, k - 1:k]                                         # [Ms, 1]
+    can = jnp.any(bm > kth)
+
+    @pl.when(can)
+    def _prep():
+        lbuf[:] = logits
+        # entrants per row: block elements beating the row's current kth;
+        # extraction needs max-over-rows of that many passes, capped at k
+        cnt = jnp.sum((logits > kth).astype(jnp.int32), axis=-1,
+                      keepdims=True)
+        mc[0, 0] = jnp.minimum(jnp.max(cnt), k)
+        bv[:] = jnp.full((Ms, k), NEG, jnp.float32)
+        bi[:] = jnp.full((Ms, k), BIG_I, jnp.int32)
+
+    for p in range(k):
+        @pl.when(can & (p < mc[0, 0]))
+        def _extract(p=p):
+            cur = lbuf[:]
+            ccols = (jax.lax.broadcasted_iota(jnp.int32, cur.shape, 1)
+                     + j * bn)
+            v, i = _leftmost_max(cur, ccols)
+            bv[:, p:p + 1] = v
+            bi[:, p:p + 1] = i
+            lbuf[:] = jnp.where(ccols == i, NEG, cur)
+
+    @pl.when(can)
     def _merge():
-        bv, bi = _topk_passes(logits, cols, k)
-        cv = jnp.concatenate([sv[:], bv], axis=-1)               # [M, 2k]
-        ci = jnp.concatenate([si[:], bi], axis=-1)
+        cv = jnp.concatenate([sv[:], bv[:]], axis=-1)            # [Ms, 2k]
+        ci = jnp.concatenate([si[:], bi[:]], axis=-1)
         nv, ni = _topk_passes_by_index(cv, ci, k)
         sv[:] = nv
         si[:] = ni
@@ -146,19 +181,23 @@ def _topk_passes_by_index(v, i, k):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "group", "interpret", "kind"))
+                   static_argnames=("k", "group", "interpret", "kind",
+                                    "Ms"))
 def _score_topk_call(xq, rs, sx, q, scale, k: int, group: int, kind: str,
-                     interpret: bool):
+                     interpret: bool, Ms: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     M, K = xq.shape
     V = q.shape[-1]
     G = K // group if kind == "w4" else 1
-    # N-block: same VMEM budget policy as quant4._qdense4_pallas_2d
-    per_col = (K // 2) * 2 if kind == "w4" else K  # packed + planes vs s8
+    # N-block: same bn as quant4._qdense4_pallas_2d's budget — the first
+    # cut charged the unpack planes to the budget and got bn=640 vs the
+    # standalone kernel's 1024 (more grid steps, worse DMA efficiency);
+    # the planes are kernel-local temporaries, not pipelined blocks
+    per_col = K // 2 if kind == "w4" else K
     bn = max(128, min(1024, (2 << 20) // per_col // 128 * 128, V))
-    kernel = functools.partial(_score_topk_kernel, k=k, V=V, bn=bn,
+    kernel = functools.partial(_score_topk_kernel, k=k, V=V, bn=bn, Ms=Ms,
                                kind=kind, group=group, interpret=interpret)
     if kind == "w4":
         in_specs = [
@@ -191,20 +230,24 @@ def _score_topk_call(xq, rs, sx, q, scale, k: int, group: int, kind: str,
         grid=(pl.cdiv(V, bn),),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((M, k), lambda j: (0, 0),
+            pl.BlockSpec((Ms, k), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, k), lambda j: (0, 0),
+            pl.BlockSpec((Ms, k), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((M, k), jnp.float32),
-            jax.ShapeDtypeStruct((M, k), jnp.int32),
+            jax.ShapeDtypeStruct((Ms, k), jnp.float32),
+            jax.ShapeDtypeStruct((Ms, k), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((M, k), jnp.float32),   # top-k values
-            pltpu.VMEM((M, k), jnp.int32),     # top-k indices
-            pltpu.VMEM((M, 1), jnp.float32),   # running max
-            pltpu.VMEM((M, 1), jnp.float32),   # running sumexp
+            pltpu.VMEM((Ms, k), jnp.float32),   # top-k values
+            pltpu.VMEM((Ms, k), jnp.int32),     # top-k indices
+            pltpu.VMEM((Ms, 1), jnp.float32),   # running max
+            pltpu.VMEM((Ms, 1), jnp.float32),   # running sumexp
+            pltpu.VMEM((Ms, bn), jnp.float32),  # merge working copy
+            pltpu.VMEM((Ms, k), jnp.float32),   # block top-k values
+            pltpu.VMEM((Ms, k), jnp.int32),     # block top-k indices
+            pltpu.SMEM((1, 1), jnp.int32),      # extraction pass count
         ],
         interpret=interpret,
     )(*args)
@@ -234,8 +277,11 @@ def _get_scorer(k: int, kind: str, interpret: bool):
 
         M0, K = h2d.shape
         xq, sx = _quantize_acts(h2d)
-        tile = 32  # int8 sublane tile
+        tile = 32  # int8 sublane tile (the matmul operand)
         M = -(-M0 // tile) * tile
+        # scoring VPU work runs on the f32 sublane tile instead — half the
+        # pass cost at beam shapes (M0 = top_k = 10 -> Ms 16, not 32)
+        Ms = -(-M0 // 8) * 8
         if M != M0:
             xq = jnp.pad(xq, ((0, M - M0), (0, 0)))
             sx = jnp.pad(sx, ((0, M - M0), (0, 0)), constant_values=1.0)
@@ -245,11 +291,11 @@ def _get_scorer(k: int, kind: str, interpret: bool):
             rs = 8 * jnp.sum(
                 xq.reshape(M, K // group, group).astype(jnp.int32), axis=2)
             lp, ix = _score_topk_call(xq, rs, sx.astype(jnp.float32), q,
-                                      scf, k, group, "w4", interpret)
+                                      scf, k, group, "w4", interpret, Ms)
         else:
             lp, ix = _score_topk_call(xq, None, sx.astype(jnp.float32), q,
                                       scf.reshape(1, -1), k, 128, "w8",
-                                      interpret)
+                                      interpret, Ms)
         return lp[:M0], ix[:M0]
 
     core = custom_batching.custom_vmap(_call)

@@ -127,3 +127,66 @@ def export_draft_safetensors(dparams: dict, version: int, out_path: str,
 
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     save_file(sd, out_path)
+
+
+def export_target_safetensors(params: dict, cfg, out_dir: str) -> None:
+    """Write a TARGET param tree as an HF-style llama checkpoint directory
+    (model.safetensors + config.json) that hf_loader.load_target round-trips.
+
+    Inverse of hf_loader.convert_target for the llama layout (no MoE /
+    qk-norm variants — this exists so hermetic environments can exercise
+    the checkpoint-loading product surface, e.g. the MT-bench eval CLI,
+    with locally-built models)."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    sd = {}
+
+    def put(name, x, transpose=False):
+        a = np.asarray(jax.device_get(x)).astype(np.float32)
+        sd[name] = a.T.copy() if transpose and a.ndim == 2 else a
+
+    put("model.embed_tokens.weight", params["embed"]["w"])
+    put("model.norm.weight", params["final_norm"])
+    if "lm_head" in params:
+        put("lm_head.weight", params["lm_head"], transpose=True)
+    L = cfg.num_layers
+    lay = params["layers"]
+    names = (("ln1", "input_layernorm.weight", False),
+             ("ln2", "post_attention_layernorm.weight", False),
+             ("wq", "self_attn.q_proj.weight", True),
+             ("wk", "self_attn.k_proj.weight", True),
+             ("wv", "self_attn.v_proj.weight", True),
+             ("wo", "self_attn.o_proj.weight", True),
+             ("w_gate", "mlp.gate_proj.weight", True),
+             ("w_up", "mlp.up_proj.weight", True),
+             ("w_down", "mlp.down_proj.weight", True))
+    for i in range(L):
+        for key, hf_name, tr in names:
+            put(f"model.layers.{i}.{hf_name}", lay[key][i], transpose=tr)
+        if "bq" in lay:
+            for key, hf_name in (("bq", "self_attn.q_proj.bias"),
+                                 ("bk", "self_attn.k_proj.bias"),
+                                 ("bv", "self_attn.v_proj.bias")):
+                put(f"model.layers.{i}.{hf_name}", lay[key][i])
+
+    os.makedirs(out_dir, exist_ok=True)
+    save_file(sd, os.path.join(out_dir, "model.safetensors"))
+    conf = {
+        "architectures": ["LlamaForCausalLM"],
+        "model_type": "llama",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_q_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+        "rms_norm_eps": cfg.rms_eps,
+        "rope_theta": cfg.rope.theta,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "tie_word_embeddings": "lm_head" not in params,
+    }
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(conf, f, indent=2)

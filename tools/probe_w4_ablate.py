@@ -218,6 +218,18 @@ if __name__ == "__main__":
         run_mode("fused_unpack", block_n=2048)
         run_mode("batched_dot", block_n=1024)
         run_mode("batched_dot", block_n=512)
+    elif len(sys.argv) > 1 and sys.argv[1] == "r4b":
+        # isolate the remaining gap at the fused_unpack winner:
+        # unpack cost (no_unpack = same bytes, no bitcast work),
+        # dot-count cost (group=256 halves the dots; timing-only),
+        # parallel grid semantics, and the bn ceiling
+        run_mode("no_unpack", block_n=1024)
+        run_mode("no_unpack", block_n=2048)
+        run_mode("fused_unpack", block_n=2048)
+        run_mode("fused_unpack", block_n=2048, group=256)
+        run_mode("fused_unpack", block_n=2048, group=512)
+        run_mode("fused_unpack", block_n=1536)
+        run_mode("fused_unpack", block_n=2048, parallel=True)
     else:
         for mode in ("full", "i32_storage", "no_unpack"):
             run_mode(mode)
