@@ -629,40 +629,41 @@ def main():
     stage("tau_heldout", 50, run_heldout)
     stage("tau_free", 40, run_free)
 
-    # ---- kernel A/B at full scale: attention (xla vs pallas_tree) x
-    # compaction (xla vs pallas). Compaction must be bit-transparent per
-    # attention impl (pure row moves) — asserted via a free-running output
-    # comparison (identical cache bits ⇒ identical trajectory). Across
-    # attention impls only round TIME is compared: the Pallas flash kernel's
-    # online-softmax reduction order differs from XLA's by ~1 bf16 ulp,
-    # which legitimately flips greedy argmaxes over a random-weight target.
+    # ---- compaction A/B at full scale (xla vs pallas compact_rows).
+    # Compaction must be bit-transparent (pure row moves) — asserted via a
+    # free-running output comparison (identical cache bits ⇒ identical
+    # trajectory). The pallas_tree ATTENTION kernel is retired from this
+    # A/B: it lost at every measured operating point — S=1024 rounds (r2:
+    # 17.45 vs 17.61+ ms; r3: 18.04 vs 18.06+) AND long live contexts
+    # inside a max_len=4096 engine (r4, tools/probe_attn_long.py: −6.0%
+    # at ctx≈240, −6.8% at ctx≈1500, −3.9% at ctx≈3000). XLA's fused
+    # mask-add attention beats the flash-style kernel everywhere the
+    # engine operates; the kernel stays test-only (`attn_impl=
+    # "pallas_tree"`, tests/test_pallas_attn.py).
     ab = {}
 
     def run_ab():
-        for attn in ("xla", "pallas_tree"):
-            ref_out = None
-            for compact in ("xla", "pallas"):
-                cfg_ab = dataclasses.replace(cfg, attn_impl=attn)
-                ecfg_ab = dataclasses.replace(ecfg, compact_impl=compact)
-                e_ab = EagleEngine(params, cfg_ab, eng.dparams, dcfg,
-                                   ecfg_ab)
-                out = retry_flake(lambda: e_ab.generate_fused(
-                    test_prompt, max_new_tokens=HI))
-                if ref_out is None:
-                    ref_out = out
-                else:
-                    n = min(len(ref_out), len(out))
-                    assert np.array_equal(out[:n], ref_out[:n]), (
-                        f"compaction changed outputs: attn={attn}")
-                tau_ab, round_ab, _ = measure_engine(e_ab, idxs=(0, 1),
-                                                     reps=2)
-                ab[f"{attn}+{compact}"] = round(round_ab, 2)
-                log(f"[bench] A/B attn={attn} compact={compact}: "
-                    f"round={round_ab:.2f}ms (tau={tau_ab:.2f})")
+        ref_out = None
+        for compact in ("xla", "pallas"):
+            ecfg_ab = dataclasses.replace(ecfg, compact_impl=compact)
+            e_ab = EagleEngine(params, cfg, eng.dparams, dcfg, ecfg_ab)
+            out = retry_flake(lambda: e_ab.generate_fused(
+                test_prompt, max_new_tokens=HI))
+            if ref_out is None:
+                ref_out = out
+            else:
+                n = min(len(ref_out), len(out))
+                assert np.array_equal(out[:n], ref_out[:n]), (
+                    "compaction changed outputs")
+            tau_ab, round_ab, _ = measure_engine(e_ab, idxs=(0, 1),
+                                                 reps=2)
+            ab[f"xla+{compact}"] = round(round_ab, 2)
+            log(f"[bench] A/B compact={compact}: "
+                f"round={round_ab:.2f}ms (tau={tau_ab:.2f})")
         best_combo = min(ab, key=ab.get)
         log(f"[bench] A/B best: {best_combo} ({ab[best_combo]:.2f}ms)")
 
-    stage("kernel_ab", 180, run_ab)
+    stage("kernel_ab", 120, run_ab)
 
     # ---- batched serving: aggregate tokens/s at B in {1, 4, 8} on the
     # headline engine. Forced replay per sequence (same reasoning as B=1:
