@@ -43,6 +43,12 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def _dense(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    from ..ops.quant4 import Stacked4
+
+    if isinstance(w, Stacked4):  # stacked int4 + in-kernel layer select
+        from ..ops.quant4 import qdense4_stacked
+
+        return qdense4_stacked(x, w, b)
     if isinstance(w, dict):  # weight-only quantization
         if "q4" in w:  # packed int4 (ops/quant4.py — Pallas kernel on TPU)
             from ..ops.quant4 import qdense4
@@ -281,18 +287,42 @@ def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray, cache: KVCache,
     else:
         sw_flags = None
 
+    # Stacked-int4 leaves ([L, K/8, N] packed dicts) are NOT scanned over:
+    # a per-layer slice feeding a Pallas custom call must be materialized
+    # by XLA (a jnp.dot fuses the slice; a custom call cannot) — profiled
+    # at ~2.9 ms/step of pure weight copies on the 4B int4 target
+    # (tools/profile_vanilla_int4.py). They stay whole and the kernel
+    # selects the layer via a scalar-prefetch index (ops/quant4.Stacked4).
+    # The blocked TP layout (4-D q4) keeps the scanned path — its
+    # custom_partitioning handles sharding there.
+    all_layers = params["layers"]
+    stacked4 = {k: v for k, v in all_layers.items()
+                if isinstance(v, dict) and "q4" in v and v["q4"].ndim == 3}
+    xs_layers = {k: v for k, v in all_layers.items() if k not in stacked4}
+    if stacked4:
+        from ..ops.quant4 import Stacked4
+
     def step(carry, xs):
-        h, taps, idx = carry
-        lp, k_cache, v_cache = xs
+        h, taps = carry
+        lp, k_cache, v_cache, idx = xs
+        if stacked4:
+            lp = dict(lp)
+            for name, qw in stacked4.items():
+                lp[name] = Stacked4(qw["q4"], qw["scale"], idx)
         taps = jnp.where((tap_layers == idx)[:, None, None, None], h[None], taps)
         sliding = sw_flags[idx] if sw_flags is not None else None
         h, k_cache, v_cache = _layer(h, lp, cfg, k_cache, v_cache, cos, sin,
                                      mask, start, positions=positions,
                                      sliding=sliding)
-        return (h, taps, idx + 1), (k_cache, v_cache)
+        return (h, taps), (k_cache, v_cache)
 
-    (h, taps, _), (k_new, v_new) = jax.lax.scan(
-        step, (h, taps0, jnp.int32(0)), (params["layers"], cache.k, cache.v)
+    # the layer index rides in xs (not the carry) so it stays UNBATCHED
+    # under vmapped rounds — the stacked kernel's custom_vmap rule can
+    # then flatten the batch into M instead of lax.map-ing per slot
+    (h, taps), (k_new, v_new) = jax.lax.scan(
+        step, (h, taps0),
+        (xs_layers, cache.k, cache.v,
+         jnp.arange(cfg.num_layers, dtype=jnp.int32))
     )
     new_cache = KVCache(k=k_new, v=v_new, length=cache.length + T)
     hidden = rms_norm(h, params["final_norm"], cfg.rms_eps)

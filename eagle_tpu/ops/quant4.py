@@ -48,7 +48,7 @@ point whose invariant is bit-exactness against its own vanilla decode.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -393,6 +393,200 @@ def _qdense4_core(x2d, q4, scale, *, interpret: bool):
     y = _qdense4_pallas_2d(xq, rs, q4f, scf, group=group, blocks=blocks,
                            interpret=interpret)
     return y[:M] * sx
+
+
+def _w4_kernel_stacked(l_ref, xq_ref, rs_ref, p_ref, s_ref, out_ref, *,
+                       group: int, interpret: bool = False):
+    """Stacked-weight variant: the layer index arrives as a scalar-prefetch
+    arg and the BlockSpec index_maps select layer l's blocks straight out
+    of the stacked [L, K/8, N] HBM array — the DMA reads the stacked
+    array in place. Math identical to _w4_kernel (blocks=1)."""
+    del l_ref  # consumed by the index_maps
+    out_ref[:] = _w4_block_acc(p_ref[0], xq_ref[:], rs_ref[:], s_ref[0],
+                               group=group, blocks=1, interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("group", "block_n", "interpret"))
+def _qdense4_pallas_stacked(xq, rowsums, q4, scale, layer,
+                            group: int = GROUP, block_n: int = 2048,
+                            interpret: bool = False):
+    """Like _qdense4_pallas_2d, but q4/scale keep their stacked leading
+    layer axis ([L, K/8, N] / [L, G, N]) and `layer` (traced int32 scalar)
+    picks the layer INSIDE the kernel via scalar-prefetch index_maps.
+
+    Why this exists: inside a lax.scan over layers, a per-layer weight
+    slice feeding a custom call must be MATERIALIZED by XLA (unlike a
+    jnp.dot operand, where the slice fuses into the consumer). Profiled on
+    the 4B int4 target: ~2.9 ms/step of pure dynamic-slice copies — more
+    than the matmul kernels themselves (tools/profile_vanilla_int4.py).
+    Indexing in the kernel eliminates the copies entirely."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = xq.shape
+    L, Kw, N = q4.shape
+    G = K // group
+    bn = max(128, min(block_n, (4 << 20) // (K // 2) // 128 * 128, N))
+    bm = next(c for c in (128, 96, 64, 32) if M % c == 0)
+    kernel = functools.partial(_w4_kernel_stacked, group=group,
+                               interpret=interpret)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(pl.cdiv(N, bn), M // bm),
+            in_specs=[
+                pl.BlockSpec((bm, K), lambda j, i, l: (i, 0)),
+                pl.BlockSpec((bm, G), lambda j, i, l: (i, 0)),
+                pl.BlockSpec((1, Kw, bn), lambda j, i, l: (l[0], 0, j)),
+                pl.BlockSpec((1, G, bn), lambda j, i, l: (l[0], 0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda j, i, l: (i, j)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        interpret=interpret,
+    )(layer.astype(jnp.int32), xq, rowsums, q4, scale)
+
+
+_STACKED_CACHE: dict = {}
+_STACKED_PART_CACHE: dict = {}
+
+
+def _stacked_core(x2d, q4, scale, layer, *, interpret: bool):
+    K = x2d.shape[-1]
+    scf = scale.astype(jnp.float32)
+    group = K // scf.shape[-2]
+    xq, sx = _quantize_acts(x2d)
+    M = xq.shape[0]
+    Mp = -(-M // 32) * 32
+    if Mp != M:
+        xq = jnp.pad(xq, ((0, Mp - M), (0, 0)))
+    rs = 8 * jnp.sum(
+        xq.reshape(Mp, K // group, group).astype(jnp.int32), axis=2)
+    y = _qdense4_pallas_stacked(xq, rs, q4, scf, layer, group=group,
+                                interpret=interpret)
+    return y[:M] * sx
+
+
+def _get_stacked_partitioned(interpret: bool):
+    """custom_partitioning for the stacked core: column-parallel stacked
+    weights ([L, K/8, N] sharded on N — the TP layout for
+    wq/wk/wv/w_gate/w_up) run the kernel locally per shard, bit-exact.
+    Row-parallel weights use the blocked 4-D layout and never reach this
+    path. Replicated/unsharded: plain local call."""
+    if interpret in _STACKED_PART_CACHE:
+        return _STACKED_PART_CACHE[interpret]
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def _fn(x2d, q4, scale, layer):
+        return _stacked_core(x2d, q4, scale, layer, interpret=interpret)
+
+    core = custom_partitioning(_fn)
+
+    def _spec(info, rank):
+        s = getattr(info, "sharding", None)
+        spec = tuple(s.spec) if s is not None else ()
+        return spec + (None,) * (rank - len(spec))
+
+    def infer(mesh, arg_infos, result_info):
+        x0 = _spec(arg_infos[0], 2)[0]
+        col = _spec(arg_infos[1], 3)[2]
+        return NamedSharding(mesh, P(x0, col))
+
+    def partition(mesh, arg_infos, result_infos):
+        x0 = _spec(arg_infos[0], 2)[0]
+        col = _spec(arg_infos[1], 3)[2]
+
+        def ns(*spec):
+            return NamedSharding(mesh, P(*spec))
+
+        def lower(x, q4, scale, layer):
+            return _stacked_core(x, q4, scale, layer, interpret=interpret)
+
+        args = (ns(x0, None), ns(None, None, col), ns(None, None, col),
+                ns(None))
+        return mesh, lower, ns(x0, col), args
+
+    core.def_partition(infer_sharding_from_operands=infer,
+                       partition=partition,
+                       sharding_rule="m k, l w n, l g n, a -> m n")
+    _STACKED_PART_CACHE[interpret] = core
+    return core
+
+
+def _get_stacked(interpret: bool):
+    """custom_vmap-wrapped stacked core: batched (vmapped) calls with a
+    shared layer index flatten the batch into M (same rationale as
+    _get_core — Pallas's default batching rule would re-stream weights
+    per batch slot)."""
+    if interpret in _STACKED_CACHE:
+        return _STACKED_CACHE[interpret]
+    from jax import custom_batching
+
+    part = _get_stacked_partitioned(interpret)
+
+    def _call(x2d, q4, scale, layer):
+        return part(x2d, q4, scale, layer)
+
+    core = custom_batching.custom_vmap(_call)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, x, q4, scale, layer):  # noqa: ANN001
+        xb, qb, sb, lb = in_batched
+        if qb or sb or lb:  # per-example weights/layers: no flattening
+            out = jax.lax.map(
+                lambda i: core(x[i] if xb else x,
+                               q4[i] if qb else q4,
+                               scale[i] if sb else scale,
+                               layer[i] if lb else layer),
+                jnp.arange(axis_size))
+            return out, True
+        B, M, K = x.shape
+        y = core(x.reshape(B * M, K), q4, scale, layer)
+        return y.reshape(B, M, -1), True
+
+    _STACKED_CACHE[interpret] = core
+    return core
+
+
+class Stacked4(NamedTuple):
+    """A stacked int4 layer weight + the (traced) layer index, passed
+    through the transformer scan body in place of a sliced weight dict so
+    _dense routes to qdense4_stacked (see _qdense4_pallas_stacked)."""
+
+    q4: jnp.ndarray      # [L, K/8, N] packed words
+    scale: jnp.ndarray   # [L, G, N]
+    layer: jnp.ndarray   # scalar int32
+
+
+def qdense4_stacked(x: jnp.ndarray, w: Stacked4,
+                    b: Optional[jnp.ndarray] = None,
+                    out_dtype=None,
+                    interpret: Optional[bool] = None) -> jnp.ndarray:
+    """x [.., K] @ stacked packed-int4 weights, layer selected in-kernel.
+
+    Off-TPU (and under TP's blocked 4-D layout, which keeps the sliced
+    path) this falls back to slicing + qdense4 — identical numerics."""
+    if interpret is None:
+        if jax.default_backend() != "tpu":
+            if not FORCE_INTERPRET:
+                qw = {"q4": jnp.take(w.q4, w.layer, axis=0),
+                      "scale": jnp.take(w.scale, w.layer, axis=0)}
+                return qdense4_xla(x, qw, b, out_dtype=out_dtype)
+            interpret = True
+        else:
+            interpret = False
+    shape = x.shape
+    N = w.q4.shape[-1]
+    lay = jnp.asarray(w.layer, jnp.int32).reshape(1)
+    y = _get_stacked(bool(interpret))(x.reshape(-1, shape[-1]), w.q4,
+                                      w.scale, lay)
+    y = y.astype(out_dtype or x.dtype).reshape(shape[:-1] + (N,))
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
 
 
 _PART_CACHE: dict = {}

@@ -213,3 +213,65 @@ def test_int4_draft_sampled_generation_runs():
     assert np.all(out >= 0) and np.all(out < eng.cfg.vocab_size)
     out2 = eng.generate(PROMPT, max_new_tokens=24, seed=8)
     assert not np.array_equal(out, out2)
+
+
+# ---------------------------------------------------------------------------
+# Stacked-weight kernel path (in-kernel layer select via scalar prefetch):
+# eliminates the per-layer dynamic-slice copies the scan otherwise
+# materializes before every Pallas custom call (profiled at ~2.9 ms/step
+# on the 4B int4 target, tools/profile_vanilla_int4.py)
+# ---------------------------------------------------------------------------
+
+def test_stacked_kernel_matches_sliced():
+    """qdense4_stacked(interpret) == slice + qdense4(interpret), bitwise,
+    for every layer index."""
+    rng = np.random.default_rng(7)
+    L, K, N = 3, 256, 384
+    ws = [jnp.asarray(rng.normal(size=(K, N)) * 0.1, jnp.float32)
+          for _ in range(L)]
+    packed = [quant4.pack_w4(w) for w in ws]
+    q4 = jnp.stack([p["q4"] for p in packed])
+    sc = jnp.stack([p["scale"] for p in packed])
+    x = jnp.asarray(rng.normal(size=(5, K)), jnp.float32)
+    for l in range(L):
+        got = quant4.qdense4_stacked(
+            x, quant4.Stacked4(q4, sc, jnp.int32(l)), interpret=True)
+        ref = quant4.qdense4(x, packed[l], interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_stacked_vmap_flattens_batch():
+    """vmapped stacked calls with a shared (unbatched) layer index flatten
+    into M — bit-identical to per-slot calls."""
+    rng = np.random.default_rng(8)
+    B, M, L, K, N = 3, 4, 2, 128, 256
+    w = [jnp.asarray(rng.normal(size=(K, N)) * 0.1, jnp.float32)
+         for _ in range(L)]
+    packed = [quant4.pack_w4(v) for v in w]
+    q4 = jnp.stack([p["q4"] for p in packed])
+    sc = jnp.stack([p["scale"] for p in packed])
+    x = jnp.asarray(rng.normal(size=(B, M, K)), jnp.float32)
+    st = quant4.Stacked4(q4, sc, jnp.int32(1))
+    out_b = jax.vmap(lambda xb: quant4.qdense4_stacked(xb, st,
+                                                       interpret=True))(x)
+    for b in range(B):
+        ref = quant4.qdense4_stacked(x[b], st, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out_b[b]), np.asarray(ref))
+
+
+def test_int4_target_engine_stacked_interpret(monkeypatch):
+    """FORCE_INTERPRET routes the engine's int4 target through the STACKED
+    interpret kernel (in-scan layer select): greedy == vanilla must hold,
+    and the output must equal the slicing-fallback engine's."""
+    eng0 = make_engine(3)
+    qparams = quant4.quantize_target_params4(eng0.params)
+    eng_ref = EagleEngine(qparams, eng0.cfg, eng0.dparams, eng0.dcfg,
+                          eng0.ecfg)
+    ref = eng_ref.generate(PROMPT, max_new_tokens=24)
+
+    monkeypatch.setattr(quant4, "FORCE_INTERPRET", True)
+    eng = EagleEngine(qparams, eng0.cfg, eng0.dparams, eng0.dcfg, eng0.ecfg)
+    out_v = eng.generate_vanilla(PROMPT, max_new_tokens=24)
+    out = eng.generate(PROMPT, max_new_tokens=24)
+    np.testing.assert_array_equal(out[: len(out_v)], out_v[: len(out)])
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
