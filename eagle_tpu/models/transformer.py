@@ -108,6 +108,21 @@ def _mlp_moe(h: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray:
     top_p = top_p / jnp.sum(top_p, axis=-1, keepdims=True)  # renormalize top-k
     combine = jax.nn.one_hot(top_i, E, dtype=jnp.float32) * top_p[..., None]
     combine = jnp.sum(combine, axis=2)  # [B, T, E]
+    if "we_gate4" in lp:
+        # int4 experts via the expert-axis fold (quantize_target_params4):
+        # gate/up are ONE stacked [H, E*F] matmul each; the router combine
+        # scales the activations so the [E*F, H] down matmul also performs
+        # the expert sum. Non-selected experts' rows are exactly zero
+        # (combine==0) — they quantize to 0 and contribute nothing.
+        Bh, Th, _ = h.shape
+        gate = _dense(h, lp["we_gate4"])            # [B, T, E*F]
+        up = _dense(h, lp["we_up4"])
+        F = gate.shape[-1] // E
+        act = jax.nn.silu(gate) * up
+        act = (act.reshape(Bh, Th, E, F)
+               * combine[..., None].astype(act.dtype)).reshape(Bh, Th,
+                                                               E * F)
+        return _dense(act, lp["we_down4"]).astype(h.dtype)   # summed over E
     if isinstance(lp["we_gate"], dict):
         # int8 expert banks (ops/quant.quantize_target_params): dynamic
         # per-token activation quantization, int8×int8 batched dots with
@@ -151,6 +166,10 @@ def _mlp_moe_capacity(h: jnp.ndarray, lp: dict, cfg: ModelConfig) -> jnp.ndarray
     semantics; cfg.moe_capacity_factor sizes C). With experts sharded over
     "model", XLA lowers the scatter/gather to all-to-alls.
     """
+    if "we_gate4" in lp:
+        raise NotImplementedError(
+            "int4 expert banks support dense dispatch only (the decode "
+            "mode); use bf16/int8 banks with moe_impl='capacity'")
     B, T, H = h.shape
     E, k = cfg.num_experts, cfg.experts_per_token
     N = B * T

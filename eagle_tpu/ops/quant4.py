@@ -818,13 +818,36 @@ def quantize_target_params4(params: dict, group: int = GROUP,
     the tree shards under sharding.quantized_target_param_specs4 — each
     model-axis shard then owns a standalone packing of a contiguous K
     range (see pack_w4). tp=1 output is bit-identical to tp>1 run
-    unsharded (K-ordered group accumulation either way)."""
+    unsharded (K-ordered group accumulation either way).
+
+    MoE expert banks quantize via an expert-axis FOLD (dense-dispatch
+    decode only — transformer._mlp_moe): gate/up [L, E, H, F] become one
+    stacked matmul weight [L, H, E·F] ("we_gate4"/"we_up4"); down
+    [L, E, F, H] becomes [L, E·F, H] ("we_down4") — the router's combine
+    weights are folded into the down-projection INPUT, so the single
+    [M, E·F] × [E·F, H] matmul also performs the expert sum. Every expert
+    streams exactly once per token (the dense-decode optimum) through the
+    same stacked Pallas kernel as the dense layers. The N/K expert folds
+    are expert-contiguous, so EP sharding splits on expert boundaries
+    when E divides the mesh. Capacity dispatch keeps bf16/int8 banks
+    (prefill/training mode — raise if combined with int4)."""
     out = dict(params)
     layers = dict(params["layers"])
     for k in _QUANT_KEYS:
         if k in layers and not isinstance(layers[k], dict):
             blocks = tp if k in _ROW_PARALLEL_KEYS else 1
             layers[k] = _pack_w4_host(layers[k], group, blocks=blocks)
+    if "we_gate" in layers and not isinstance(layers["we_gate"], dict):
+        wg = np.asarray(layers.pop("we_gate"), np.float32)  # [L, E, H, F]
+        wu = np.asarray(layers.pop("we_up"), np.float32)
+        wd = np.asarray(layers.pop("we_down"), np.float32)  # [L, E, F, H]
+        L, E, H, F = wg.shape
+        fold_n = lambda w: np.ascontiguousarray(
+            w.transpose(0, 2, 1, 3)).reshape(L, H, E * F)
+        layers["we_gate4"] = _pack_w4_host(fold_n(wg), group)
+        layers["we_up4"] = _pack_w4_host(fold_n(wu), group)
+        layers["we_down4"] = _pack_w4_host(
+            wd.reshape(L, E * F, H), group, blocks=tp)
     out["layers"] = layers
     if "lm_head" in out and not isinstance(out["lm_head"], dict):
         out["lm_head"] = _pack_w4_host(out["lm_head"], group)

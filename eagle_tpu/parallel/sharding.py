@@ -149,6 +149,18 @@ def quantized_target_param_specs4(cfg: ModelConfig) -> dict:
     for k in _QUANT_KEYS:
         if k in layers:
             layers[k] = q(layers[k], k)
+    if "we_gate" in layers:
+        # int4 expert-fold leaves (quantize_target_params4): gate/up fold
+        # experts into N ([L, H/8, E*F], expert-contiguous -> EP = shard N
+        # when E divides the mesh); down folds experts into K and packs
+        # blocked ([L, tp, E*F/(8*tp), H], model on the block axis)
+        for name in ("we_gate", "we_up", "we_down"):
+            layers.pop(name, None)
+        colspec = P(None, None, "model")
+        layers["we_gate4"] = {"q4": colspec, "scale": colspec}
+        layers["we_up4"] = {"q4": colspec, "scale": colspec}
+        blocked = P(None, "model", None, None)
+        layers["we_down4"] = {"q4": blocked, "scale": blocked}
     specs["layers"] = layers
     if "lm_head" in specs:
         specs["lm_head"] = q(specs["lm_head"], "lm_head")

@@ -275,3 +275,108 @@ def test_int4_target_engine_stacked_interpret(monkeypatch):
     out = eng.generate(PROMPT, max_new_tokens=24)
     np.testing.assert_array_equal(out[: len(out_v)], out_v[: len(out)])
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+# ---------------------------------------------------------------------------
+# int4 MoE expert banks via the expert-axis fold (dense-dispatch decode):
+# gate/up fold experts into N, down folds experts into K with the router
+# combine pre-applied to the activations (one matmul = projection + sum)
+# ---------------------------------------------------------------------------
+
+def _moe4():
+    from test_quant import _moe_setup
+    return _moe_setup("dense")
+
+
+def test_quantize_target_params4_moe_structure():
+    cfg, _, params, _, _ = _moe4()
+    qp = quant4.quantize_target_params4(params)
+    L, E, H, F = params["layers"]["we_gate"].shape
+    assert "we_gate" not in qp["layers"]
+    assert qp["layers"]["we_gate4"]["q4"].shape == (L, H // 8, E * F)
+    assert qp["layers"]["we_down4"]["q4"].shape == (L, E * F // 8, H)
+    # expert-contiguous N fold: expert e's columns are [e*F, (e+1)*F)
+    dq = np.asarray(quant4.unpack_w4(
+        {"q4": qp["layers"]["we_gate4"]["q4"][0],
+         "scale": qp["layers"]["we_gate4"]["scale"][0]}))
+    ref = np.asarray(params["layers"]["we_gate"][0])  # [E, H, F]
+    for e in range(E):
+        got = dq[:, e * F:(e + 1) * F]
+        np.testing.assert_allclose(got, ref[e], atol=np.abs(ref).max() / 7)
+
+
+def test_int4_moe_dense_close_to_bf16():
+    from eagle_tpu.models import transformer
+    from eagle_tpu.ops.kv_cache import init_cache
+    from eagle_tpu.ops.masks import prefill_mask
+
+    cfg, _, params, _, _ = _moe4()
+    qp = quant4.quantize_target_params4(params)
+    T, S = 10, 32
+    tokens = jnp.asarray(np.random.default_rng(9).integers(
+        0, cfg.vocab_size, size=(1, T)), jnp.int32)
+    pos = jnp.arange(T, dtype=jnp.int32)[None]
+
+    def run(p):
+        cache = init_cache(cfg.num_layers, 1, cfg.num_kv_heads, S,
+                           cfg.head_dim, dtype=jnp.float32)
+        res = transformer.forward(p, cfg, tokens, cache, pos,
+                                  prefill_mask(T, S, cache.length))
+        return np.asarray(transformer.lm_head(p, cfg, res.hidden))
+
+    bf = run(params)
+    q4 = run(qp)
+    rel = np.linalg.norm(q4 - bf) / np.linalg.norm(bf)
+    assert rel < 0.15, rel
+
+
+def test_int4_moe_target_greedy_bit_exact_within_engine():
+    cfg, dcfg, params, dparams, ecfg = _moe4()
+    qp = quant4.quantize_target_params4(params)
+    eng = EagleEngine(qp, cfg, dparams, dcfg, ecfg)
+    ref = eng.generate_vanilla(PROMPT, max_new_tokens=24)
+    out = eng.generate(PROMPT, max_new_tokens=24)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+
+
+def test_int4_moe_capacity_raises():
+    import dataclasses
+    cfg, dcfg, params, dparams, ecfg = _moe4()
+    cfg_cap = dataclasses.replace(cfg, moe_impl="capacity",
+                                  moe_capacity_factor=8.0)
+    qp = quant4.quantize_target_params4(params)
+    eng = EagleEngine(qp, cfg_cap, dparams, dcfg, ecfg)
+    with pytest.raises(NotImplementedError):
+        eng.generate_vanilla(PROMPT, max_new_tokens=4)
+
+
+def test_int4_moe_target_engine_stacked_interpret(monkeypatch):
+    """Stacked interpret kernels through the MoE forward: greedy==vanilla
+    and equal to the slicing-fallback engine."""
+    cfg, dcfg, params, dparams, ecfg = _moe4()
+    qp = quant4.quantize_target_params4(params)
+    ref = EagleEngine(qp, cfg, dparams, dcfg, ecfg).generate(
+        PROMPT, max_new_tokens=16)
+    monkeypatch.setattr(quant4, "FORCE_INTERPRET", True)
+    eng = EagleEngine(qp, cfg, dparams, dcfg, ecfg)
+    out_v = eng.generate_vanilla(PROMPT, max_new_tokens=16)
+    out = eng.generate(PROMPT, max_new_tokens=16)
+    np.testing.assert_array_equal(out[: len(out_v)], out_v[: len(out)])
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_int4_moe_target_ep_sharded():
+    """EP/TP-sharded int4 MoE (expert-fold leaves sharded on the folded
+    axes): sharded greedy == the sharded engine's own vanilla."""
+    from eagle_tpu.parallel import sharding as shd
+
+    cfg, dcfg, params, dparams, ecfg = _moe4()
+    qp = quant4.quantize_target_params4(params, tp=4)
+    mesh = shd.make_mesh(n_data=1, n_model=4, devices=jax.devices()[:4])
+    qp_s = shd.shard_params(qp, mesh, shd.quantized_target_param_specs4(cfg))
+    dparams_s = shd.replicate(dparams, mesh)
+    eng = EagleEngine(qp_s, cfg, dparams_s, dcfg, ecfg)
+    with jax.set_mesh(mesh):
+        out_v = eng.generate_vanilla(PROMPT, max_new_tokens=16)
+        out = eng.generate(PROMPT, max_new_tokens=16)
+    np.testing.assert_array_equal(out[: len(out_v)], out_v[: len(out)])
