@@ -339,10 +339,7 @@ def _qdense4_pallas_2d(xq, rowsums, q4, scale, group: int = GROUP,
     # the streaming ideal per scoring call; found by
     # tools/profile_round.py).
     bn = max(128, min(block_n, (4 << 20) // (K // 2) // 128 * 128, N))
-    # M arrives padded to a multiple of 32; use the largest block <= 128
-    # that divides it (verify rounds are M=64 — padding them to 128 would
-    # double the MXU/VPU work of the whole verify forward)
-    bm = next(c for c in (128, 96, 64, 32) if M % c == 0)
+    bm = _pick_bm(M, K)
     kernel = functools.partial(_w4_kernel, group=group, blocks=blocks,
                                interpret=interpret)
     return pl.pallas_call(
@@ -363,6 +360,19 @@ def _qdense4_pallas_2d(xq, rowsums, q4, scale, group: int = GROUP,
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
         interpret=interpret,
     )(xq, rowsums, q4, scale)
+
+
+def _pick_bm(M: int, K: int) -> int:
+    """M block: the largest divisor of M (padded to 32) that is <= 128 —
+    verify rounds are M=64 and padding them to 128 would double the
+    MXU/VPU work — AND whose activation block bm*K stays <= 2 MB: at the
+    MoE expert-fold's K=E*F (e.g. 32768) a bm=128 activation block alone
+    is 4 MB and, double-buffered next to the packed weight blocks, blows
+    the 16 MB VMEM budget (measured: 25.35 M scoped-vmem OOM)."""
+    for c in (128, 96, 64, 32):
+        if M % c == 0 and c * K <= (2 << 20):
+            return c
+    return 32
 
 
 def _qdense4_core(x2d, q4, scale, *, interpret: bool):
@@ -428,7 +438,7 @@ def _qdense4_pallas_stacked(xq, rowsums, q4, scale, layer,
     L, Kw, N = q4.shape
     G = K // group
     bn = max(128, min(block_n, (4 << 20) // (K // 2) // 128 * 128, N))
-    bm = next(c for c in (128, 96, 64, 32) if M % c == 0)
+    bm = _pick_bm(M, K)
     kernel = functools.partial(_w4_kernel_stacked, group=group,
                                interpret=interpret)
     return pl.pallas_call(

@@ -136,3 +136,48 @@ mbu_q = (qbytes / (vstep_q / 1e3)) / 819e9
 print(f"moe int8 dense: vanilla step {vstep_q:.2f}ms (MBU {mbu_q:.2f}; "
       f"bf16 was {results['dense'][0]:.2f}ms) | round {round_q:.2f}ms | "
       f"speedup@tau6 = {6 * vstep_q / round_q:.2f}x", flush=True)
+
+# ---- int4 experts (expert-axis fold, dense dispatch; ops/quant4.py)
+del eng, qparams
+from eagle_tpu.ops import quant4
+
+# rebuild the bf16 tree to quantize int4 (the earlier host copy was
+# freed); the deterministic seed reproduces it exactly
+cfg_d = ModelConfig(vocab_size=V, hidden_size=H, intermediate_size=F,
+                    num_layers=L, num_q_heads=NQ, num_kv_heads=NKV,
+                    head_dim=D, rope=RopeConfig(theta=500000.0),
+                    dtype=jnp.bfloat16, num_experts=E, experts_per_token=2,
+                    moe_impl="dense")
+params2 = transformer.init_params(cfg_d, jax.random.PRNGKey(0))
+host2 = jax.tree.map(np.asarray, params2)
+del params2
+q4_h = quant4.quantize_target_params4(host2)
+del host2
+q4params = jax.tree.map(jnp.asarray, q4_h)
+del q4_h
+q4bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(q4params))
+print(f"int4 MoE target {q4bytes/1e9:.2f} GB", flush=True)
+ecfg = EngineConfig(total_tokens=63, depth=7, top_k=10, max_len=1024,
+                    kv_buckets=(256, 512), draft_quant="int4")
+eng = EagleEngine(q4params, cfg_d, dparams, dcfg, ecfg)
+ref = retry(lambda: eng.generate_vanilla(prompt, max_new_tokens=80,
+                                         fused=True))
+_, ntok, _, hits = retry(lambda: eng.generate_fused(
+    prompt, max_new_tokens=48, log=True, force_tokens=np.asarray(ref)))
+agree = hits / max(ntok, 1)
+assert agree > 0.5, f"int4 MoE verify/vanilla agreement collapsed: {agree}"
+print(f"int4 MoE verify/vanilla live agreement {agree:.3f}", flush=True)
+tv_lo = timed(lambda: retry(lambda: eng.generate_vanilla(
+    prompt, max_new_tokens=LO, fused=True)))
+tv_hi = timed(lambda: retry(lambda: eng.generate_vanilla(
+    prompt, max_new_tokens=HI, fused=True)))
+vstep_q4 = 1e3 * (tv_hi - tv_lo) / (HI - LO)
+te_lo = timed(lambda: run(LO)); o_lo = run(LO)
+te_hi = timed(lambda: run(HI)); o_hi = run(HI)
+dr = max(o_hi[2] - o_lo[2], 1)
+round_q4 = 1e3 * (te_hi - te_lo) / dr
+mbu_q4 = (q4bytes / (vstep_q4 / 1e3)) / 819e9
+print(f"moe int4 dense: vanilla step {vstep_q4:.2f}ms (MBU {mbu_q4:.2f}; "
+      f"int8 was {vstep_q:.2f}ms, bf16 {results['dense'][0]:.2f}ms) | "
+      f"round {round_q4:.2f}ms | speedup@tau6 = "
+      f"{6 * vstep_q4 / round_q4:.2f}x", flush=True)
