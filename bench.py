@@ -597,17 +597,23 @@ def main():
               "round_ms": round(round_ms, 2), "speedup": round(speedup, 2)}]
 
     def run_sweep():
-        for step_i, acc0, dp_host in snapshots[:-1]:
-            eng.dparams = jax.tree.map(jnp.asarray, dp_host)
-            tau_i, round_i, _ = measure_engine(eng, reps=2)
-            sp_i = (tau_i * 1e3 / round_i) / vanilla_tps
-            sweep.append({"distill_steps": step_i, "acc0": round(acc0, 3),
-                          "tau": round(tau_i, 2),
-                          "round_ms": round(round_i, 2),
-                          "speedup": round(sp_i, 2)})
-            log(f"[bench] sweep step={step_i} acc0={acc0:.3f} "
-                f"tau={tau_i:.2f} round={round_i:.2f}ms speedup={sp_i:.2f}x")
-        eng.dparams = jax.tree.map(jnp.asarray, snapshots[-1][2])
+        try:
+            for step_i, acc0, dp_host in snapshots[:-1]:
+                eng.dparams = jax.tree.map(jnp.asarray, dp_host)
+                tau_i, round_i, _ = measure_engine(eng, reps=2)
+                sp_i = (tau_i * 1e3 / round_i) / vanilla_tps
+                sweep.append({"distill_steps": step_i,
+                              "acc0": round(acc0, 3),
+                              "tau": round(tau_i, 2),
+                              "round_ms": round(round_i, 2),
+                              "speedup": round(sp_i, 2)})
+                log(f"[bench] sweep step={step_i} acc0={acc0:.3f} "
+                    f"tau={tau_i:.2f} round={round_i:.2f}ms "
+                    f"speedup={sp_i:.2f}x")
+        finally:
+            # a mid-loop flake must not leave later stages measuring a
+            # weak early snapshot (stage() swallows the exception)
+            eng.dparams = jax.tree.map(jnp.asarray, snapshots[-1][2])
         sweep.sort(key=lambda s: s["distill_steps"])
 
     stage("tau_sweep", 70, run_sweep)

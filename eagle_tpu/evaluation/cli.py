@@ -80,6 +80,9 @@ def main(argv=None):
     if args.tokenizer == "byte":
         import numpy as np
 
+        if args.model_type == "hf":
+            ap.error("--tokenizer byte has no HF tokenizer to take a chat "
+                     "template from; pick a named --model-type")
         tok = None
         eos_id = None
 

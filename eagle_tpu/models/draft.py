@@ -98,9 +98,14 @@ def fuse_projections(dparams: dict) -> dict:
         nlp = dict(lp)
         nlp["wqkv"] = jnp.concatenate(
             [nlp.pop("wq"), nlp.pop("wk"), nlp.pop("wv")], axis=-1)
-        if all(k in nlp for k in ("bq", "bk", "bv")):
+        n_bias = sum(k in nlp for k in ("bq", "bk", "bv"))
+        if n_bias == 3:
             nlp["bqkv"] = jnp.concatenate(
                 [nlp.pop("bq"), nlp.pop("bk"), nlp.pop("bv")], axis=-1)
+        elif n_bias:  # fail loudly — fusing would silently drop the bias
+            raise ValueError(
+                "fuse_projections: layer has a partial q/k/v bias set "
+                f"({n_bias}/3); init/loader invariants are all-or-none")
         if not isinstance(nlp.get("w_gate"), dict):
             nlp["wgu"] = jnp.concatenate(
                 [nlp.pop("w_gate"), nlp.pop("w_up")], axis=-1)

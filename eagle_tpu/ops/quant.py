@@ -36,14 +36,12 @@ def qdense(x: jnp.ndarray, qw: dict, b: Optional[jnp.ndarray] = None,
            out_dtype=None) -> jnp.ndarray:
     """x [.., in] @ int8 weights → [.., out] in x.dtype (or out_dtype).
 
-    Dynamic symmetric per-row activation quantization; int8×int8 matmul with
-    int32 accumulation on the MXU; output rescaled by (row_scale ⊗
-    col_scale)."""
+    Dynamic symmetric per-row activation quantization (quantize_rows —
+    the ONE copy of the rule every int8/int4 path shares); int8×int8
+    matmul with int32 accumulation on the MXU; output rescaled by
+    (row_scale ⊗ col_scale)."""
     shape = x.shape
-    xf = x.reshape(-1, shape[-1]).astype(jnp.float32)
-    xmax = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True), 1e-12)
-    sx = xmax / 127.0
-    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    xq, sx = quantize_rows(x.reshape(-1, shape[-1]))
     acc = jax.lax.dot_general(
         xq, qw["q8"], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
@@ -67,8 +65,10 @@ _EXPERT_QUANT_KEYS = ("we_gate", "we_up", "we_down")
 
 def quantize_rows(x: jnp.ndarray):
     """Per-row dynamic symmetric int8 activation quantization over the
-    LAST axis (the same rule as qdense's inline path, factored out for the
-    expert-bank einsums): x [.., K] -> (int8 [.., K], f32 scales [.., 1])."""
+    LAST axis — the single definition of the rule (qdense, the expert-bank
+    einsums, and quant4._quantize_acts all route here; the losslessness
+    invariants depend on every path applying it identically):
+    x [.., K] -> (int8 [.., K], f32 scales [.., 1])."""
     xf = x.astype(jnp.float32)
     xmax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12)
     sx = xmax / 127.0

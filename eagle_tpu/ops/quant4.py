@@ -185,14 +185,12 @@ def unpack_w4(qw: dict, dtype=jnp.float32) -> jnp.ndarray:
 
 
 def _quantize_acts(x: jnp.ndarray):
-    """Per-row dynamic symmetric int8 activation quantization (the same
-    rule as ops/quant.qdense, so w4 and w8 layers see identical
-    activation error)."""
-    xf = x.astype(jnp.float32)
-    xmax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-12)
-    sx = xmax / 127.0
-    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
-    return xq, sx
+    """Per-row dynamic symmetric int8 activation quantization — delegates
+    to the single rule in ops/quant.quantize_rows so w4 and w8 layers see
+    identical activation error."""
+    from .quant import quantize_rows
+
+    return quantize_rows(x)
 
 
 def qdense4_xla(x: jnp.ndarray, qw: dict, b: Optional[jnp.ndarray] = None,

@@ -68,7 +68,7 @@ def _topk_passes(x, cols, k):
 
 
 def _score_topk_kernel(*refs, k: int, V: int, bn: int, Ms: int, kind: str,
-                       group: int, interpret: bool):
+                       group: int, cast: str, interpret: bool):
     """Grid = (cdiv(V, bn),) over lm_head N-blocks; M is one block.
 
     Scratch (persists across the sequential TPU grid): running top-k
@@ -103,17 +103,26 @@ def _score_topk_kernel(*refs, k: int, V: int, bn: int, Ms: int, kind: str,
         ss[:] = jnp.zeros((Ms, 1), jnp.float32)
         mc[0, 0] = 0
 
-    # ---- block logits (same math as the standalone quantized matmuls)
+    # ---- block logits (same f32 math as the standalone quantized
+    # matmuls: w4 = group-accumulated acc then ·sx; w8 = (dot·sx)·scale,
+    # quant.qdense's multiplication order)
     if kind == "w4":
         from .quant4 import _w4_block_acc
         acc = _w4_block_acc(q_ref[:], xq_ref[:], rs_ref[:], s_ref[:],
                             group=group, blocks=1, interpret=interpret)
+        logits = acc[:Ms] * sx_ref[:Ms]                          # [Ms, bn]
     else:
         dot = jax.lax.dot_general(
             xq_ref[:], q_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        acc = dot.astype(jnp.float32) * s_ref[:].reshape(1, -1)
-    logits = acc[:Ms] * sx_ref[:Ms]                              # [Ms, bn]
+        logits = (dot[:Ms].astype(jnp.float32) * sx_ref[:Ms]
+                  * s_ref[:].reshape(1, -1))
+    if cast != "float32":
+        # the unfused path returns qdense/qdense4 output in the hidden
+        # dtype (bf16) before draft_logits' f32 cast — replicate that
+        # rounding so candidate ids/tie order match bit-for-bit at
+        # production dtypes too
+        logits = logits.astype(jnp.dtype(cast)).astype(jnp.float32)
     cols = (jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             + j * bn)
     logits = jnp.where(cols < V, logits, NEG)  # mask the ragged edge
@@ -182,23 +191,24 @@ def _topk_passes_by_index(v, i, k):
 
 @functools.partial(jax.jit,
                    static_argnames=("k", "group", "interpret", "kind",
-                                    "Ms"))
+                                    "Ms", "cast"))
 def _score_topk_call(xq, rs, sx, q, scale, k: int, group: int, kind: str,
-                     interpret: bool, Ms: int):
+                     interpret: bool, Ms: int, cast: str):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     M, K = xq.shape
     V = q.shape[-1]
     G = K // group if kind == "w4" else 1
-    # N-block: same bn as quant4._qdense4_pallas_2d's budget — the first
-    # cut charged the unpack planes to the budget and got bn=640 vs the
-    # standalone kernel's 1024 (more grid steps, worse DMA efficiency);
-    # the planes are kernel-local temporaries, not pipelined blocks
+    # N-block: this kernel budgets tighter than quant4._qdense4_pallas_2d
+    # (which moved to 4 MB/bn=2048) because it also carries the [Ms, bn]
+    # merge working copy + top-k scratch; only the packed weight block is
+    # charged (unpack temporaries are kernel-local, not pipelined blocks)
     per_col = K // 2 if kind == "w4" else K
     bn = max(128, min(1024, (2 << 20) // per_col // 128 * 128, V))
     kernel = functools.partial(_score_topk_kernel, k=k, V=V, bn=bn, Ms=Ms,
-                               kind=kind, group=group, interpret=interpret)
+                               kind=kind, group=group, cast=cast,
+                               interpret=interpret)
     if kind == "w4":
         in_specs = [
             pl.BlockSpec((M, K), lambda j: (0, 0),
@@ -261,13 +271,13 @@ FORCE_INTERPRET = False
 _SCORER_CACHE: dict = {}
 
 
-def _get_scorer(k: int, kind: str, interpret: bool):
+def _get_scorer(k: int, kind: str, interpret: bool, cast: str):
     """custom_vmap-wrapped scorer: a vmapped call (the engine's batched
     serving rounds) flattens the batch into M instead of letting Pallas
     prepend a grid dimension and re-stream the lm_head once per batch slot
     (the quant4._get_core lesson). Rows are independent — per-row top-k and
     logsumexp make the flatten exact."""
-    key = (k, kind, interpret)
+    key = (k, kind, interpret, cast)
     if key in _SCORER_CACHE:
         return _SCORER_CACHE[key]
     from jax import custom_batching
@@ -291,11 +301,12 @@ def _get_scorer(k: int, kind: str, interpret: bool):
             rs = 8 * jnp.sum(
                 xq.reshape(M, K // group, group).astype(jnp.int32), axis=2)
             lp, ix = _score_topk_call(xq, rs, sx.astype(jnp.float32), q,
-                                      scf, k, group, "w4", interpret, Ms)
+                                      scf, k, group, "w4", interpret, Ms,
+                                      cast)
         else:
             lp, ix = _score_topk_call(xq, None, sx.astype(jnp.float32), q,
                                       scf.reshape(1, -1), k, 128, "w8",
-                                      interpret, Ms)
+                                      interpret, Ms, cast)
         return lp[:M0], ix[:M0]
 
     core = custom_batching.custom_vmap(_call)
@@ -324,8 +335,11 @@ def score_topk_quant(h2d: jnp.ndarray, qw: dict, k: int,
     [M, k] f32, draft-vocab ids [M, k] int32).
 
     Activation quantization (per-row symmetric int8) happens in XLA —
-    identical rule to qdense/qdense4, so the in-kernel logits match the
-    unfused path bit-for-bit (hence identical candidate ids/order)."""
+    identical rule to qdense/qdense4 — and the kernel rounds its f32
+    logits through h2d's dtype, replicating the unfused path's
+    qdense-output cast, so candidate ids and tie order match the XLA
+    chain bit-for-bit at production (bf16) dtypes too."""
+    cast = str(jnp.dtype(h2d.dtype))
     kind = "w4" if "q4" in qw else "w8"
     if kind == "w4":
         from .quant4 import _blocks_of
@@ -333,4 +347,4 @@ def score_topk_quant(h2d: jnp.ndarray, qw: dict, k: int,
         w = qw["q4"]
     else:
         w = qw["q8"]
-    return _get_scorer(k, kind, bool(interpret))(h2d, w, qw["scale"])
+    return _get_scorer(k, kind, bool(interpret), cast)(h2d, w, qw["scale"])

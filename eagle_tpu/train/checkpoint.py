@@ -153,6 +153,13 @@ def export_target_safetensors(params: dict, cfg, out_dir: str) -> None:
         put("lm_head.weight", params["lm_head"], transpose=True)
     L = cfg.num_layers
     lay = params["layers"]
+    if "bq" in lay:
+        # the emitted config says model_type=llama, which the loader reads
+        # as bias-free — silently dropping biases on the round-trip would
+        # be worse than refusing
+        raise NotImplementedError(
+            "export_target_safetensors emits the llama layout only; "
+            "qkv-bias (qwen2-style) targets are not round-trippable here")
     names = (("ln1", "input_layernorm.weight", False),
              ("ln2", "post_attention_layernorm.weight", False),
              ("wq", "self_attn.q_proj.weight", True),
@@ -165,12 +172,6 @@ def export_target_safetensors(params: dict, cfg, out_dir: str) -> None:
     for i in range(L):
         for key, hf_name, tr in names:
             put(f"model.layers.{i}.{hf_name}", lay[key][i], transpose=tr)
-        if "bq" in lay:
-            for key, hf_name in (("bq", "self_attn.q_proj.bias"),
-                                 ("bk", "self_attn.k_proj.bias"),
-                                 ("bv", "self_attn.v_proj.bias")):
-                put(f"model.layers.{i}.{hf_name}", lay[key][i])
-
     os.makedirs(out_dir, exist_ok=True)
     save_file(sd, os.path.join(out_dir, "model.safetensors"))
     conf = {

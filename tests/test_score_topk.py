@@ -112,3 +112,22 @@ def test_engine_same_tree_fused_vs_xla(monkeypatch):
     out_f, n_f, r_f = eng_f.generate(PROMPT, max_new_tokens=24, log=True)
     np.testing.assert_array_equal(np.asarray(out_x), np.asarray(out_f))
     assert (n_x, r_x) == (n_f, r_f)
+
+
+def test_kernel_matches_xla_bf16_rows():
+    """Production drafts are bf16: the unfused path rounds qdense output
+    through bf16 before the f32 cast, and the kernel must replicate that
+    rounding — candidate ids and tie order bit-identical at bf16 too."""
+    rng = np.random.default_rng(3)
+    M, K, V, k = 10, 256, 512, 4
+    h = jnp.asarray(rng.normal(size=(M, K)), jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(K, V)) * 0.1, jnp.float32)
+    qw = quant.quantize_linear(w)
+    lp, ids = stk.score_topk_quant(h, qw, k, interpret=True)
+    # unfused reference exactly as drafter's fallback computes it
+    logits = quant.qdense(h, qw).astype(jnp.float32)  # bf16 out -> f32
+    ref_lp, ref_ids = drafter.topk_rows(
+        jax.nn.log_softmax(logits, axis=-1), k)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ref_lp),
+                               rtol=1e-5, atol=1e-5)
