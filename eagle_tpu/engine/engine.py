@@ -125,12 +125,22 @@ class EagleEngine:
                         temperature: float = 0.0,
                         eos_token_id: Optional[int] = None,
                         dtype=jnp.bfloat16,
+                        target_quant: Optional[str] = None,
+                        draft_quant: Optional[str] = None,
                         mesh=None) -> "EagleEngine":
         """Load target + draft checkpoints and build an engine — the
         ea_model.py:89-170 `EaModel.from_pretrained` analog (total_tokens=-1
         auto-tuning is available separately via `calibrate_total_tokens`).
-        When `mesh` is given, target params are tensor-parallel sharded and
-        the draft head replicated (parallel/sharding.py layout)."""
+
+        target_quant: None | "int8" | "int4" — weight-only target
+        quantization on load (a serving operating point: outputs are
+        bit-exact vs the quantized target's own vanilla decode; the int4
+        path runs the stacked Pallas w4a8 kernel on TPU). draft_quant:
+        same choices for the draft head — LOSSLESS (acceptance only
+        commits target-verified tokens). When `mesh` is given, target
+        params are tensor-parallel sharded and the draft head replicated
+        (parallel/sharding.py layout; quantized trees use the matching
+        quantized spec functions)."""
         from ..models.hf_loader import load_draft, load_target
 
         params, cfg = load_target(base_model_path, dtype=dtype)
@@ -138,16 +148,31 @@ class EagleEngine:
                                    version=3 if use_eagle3 else 1,
                                    dtype=dtype,
                                    target_embed=params["embed"]["w"])
+        tp = (1 if mesh is None
+              else int(np.prod([s for a, s in zip(mesh.axis_names,
+                                                  mesh.devices.shape)
+                                if a == "model"])))
+        if target_quant == "int8":
+            from ..ops.quant import quantize_target_params
+            params = quantize_target_params(params)
+        elif target_quant == "int4":
+            from ..ops.quant4 import quantize_target_params4
+            params = quantize_target_params4(params, tp=tp)
         if total_tokens == -1:
             total_tokens = calibrate_total_tokens(params, cfg,
                                                   max_len=max_len)
         ecfg = EngineConfig(total_tokens=total_tokens, depth=depth,
                             top_k=top_k, max_len=max_len,
-                            temperature=temperature)
+                            temperature=temperature,
+                            draft_quant=draft_quant or "none")
         if mesh is not None:
             from ..parallel import sharding as shd
-            params = shd.shard_params(params, mesh,
-                                      shd.target_param_specs(cfg))
+            specs = (shd.quantized_target_param_specs(cfg)
+                     if target_quant == "int8"
+                     else shd.quantized_target_param_specs4(cfg)
+                     if target_quant == "int4"
+                     else shd.target_param_specs(cfg))
+            params = shd.shard_params(params, mesh, specs)
             dparams = shd.replicate(dparams, mesh)
         return cls(params, cfg, dparams, dcfg, ecfg,
                    eos_token_id=eos_token_id)

@@ -137,3 +137,51 @@ def test_from_pretrained_roundtrip(tmp_path):
     ref = eng.generate_vanilla(PROMPT, max_new_tokens=20)
     out = eng.generate(PROMPT, max_new_tokens=20)
     np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+
+
+@pytest.mark.parametrize("tq", ["int8", "int4"])
+def test_from_pretrained_quantized(tmp_path, tq):
+    """from_pretrained(target_quant=..., draft_quant=...) quantizes on
+    load; greedy == the quantized engine's own vanilla decode. Target
+    checkpoint written by train.checkpoint.export_target_safetensors (the
+    round-trip the exporter advertises)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from eagle_tpu.engine.engine import EagleEngine
+    from eagle_tpu.models import transformer
+    from test_engine_greedy import tiny_cfg, PROMPT
+
+    cfg = tiny_cfg()
+    params = transformer.init_params(cfg, jax.random.PRNGKey(3),
+                                     dtype=jnp.float32)
+    base = tmp_path / "target"
+    ckpt.export_target_safetensors(params, cfg, str(base))
+
+    dcfg = tiny_dcfg(1)
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(4),
+                                    dtype=jnp.float32)
+    draft_dir = tmp_path / "draft"
+    draft_dir.mkdir()
+    ckpt.export_draft_safetensors(dparams, 1,
+                                  str(draft_dir / "model.safetensors"))
+    with open(draft_dir / "config.json", "w") as f:
+        json.dump({
+            "vocab_size": dcfg.vocab_size, "hidden_size": dcfg.hidden_size,
+            "intermediate_size": dcfg.intermediate_size,
+            "num_hidden_layers": 1,
+            "num_attention_heads": dcfg.num_q_heads,
+            "num_key_value_heads": dcfg.num_kv_heads,
+            "head_dim": dcfg.head_dim, "rms_norm_eps": dcfg.rms_eps,
+        }, f)
+
+    eng = EagleEngine.from_pretrained(str(base), str(draft_dir),
+                                      total_tokens=15, depth=3, top_k=4,
+                                      max_len=256, dtype=jnp.float32,
+                                      target_quant=tq, draft_quant="int8")
+    assert isinstance(eng.params["lm_head"], dict)
+    ref = eng.generate_vanilla(PROMPT, max_new_tokens=20)
+    out = eng.generate(PROMPT, max_new_tokens=20)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
