@@ -27,7 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
-S, K, N, M = 24, 4096, 4096, 32
+import os as _os
+S, K, N, M = 24, 4096, 4096, int(_os.environ.get("ABLATE_M", "32"))
 R = 40
 GROUP = 128
 PEAK_BW = 819e9
@@ -218,6 +219,14 @@ if __name__ == "__main__":
         run_mode("fused_unpack", block_n=2048)
         run_mode("batched_dot", block_n=1024)
         run_mode("batched_dot", block_n=512)
+    elif len(sys.argv) > 1 and sys.argv[1] == "m512":
+        # batched-verify regime (M=512 via ABLATE_M): is the G-loop f32
+        # scale work the int4 B=8 gap, and would bf16 dequant-dots win
+        # where they lose at M=32?
+        run_mode("fused_unpack", block_n=2048)
+        run_mode("bf16_dots", block_n=1024)
+        run_mode("one_dot_bf16", block_n=1024)
+        run_mode("one_dot", block_n=2048)
     elif len(sys.argv) > 1 and sys.argv[1] == "r4b":
         # isolate the remaining gap at the fused_unpack winner:
         # unpack cost (no_unpack = same bytes, no bitcast work),
