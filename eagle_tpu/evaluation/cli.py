@@ -52,6 +52,11 @@ def main(argv=None):
                          "byte+3), for environments without downloadable "
                          "tokenizers — exercises the full harness with "
                          "locally-built checkpoints")
+    ap.add_argument("--fused", action="store_true",
+                    help="single-dispatch generation (one device "
+                         "round-trip per request) — realistic serving "
+                         "latency, but per-depth alpha detail is not "
+                         "recorded (tau/speed ratio unaffected)")
     ap.add_argument("--draft-quant", choices=["none", "int8", "int4"],
                     default="none",
                     help="weight-only draft quantization (lossless; "
@@ -140,7 +145,7 @@ def main(argv=None):
         def decode_fn(ids):
             return tok.decode(ids, skip_special_tokens=True)
     records = harness.run_benchmark(
-        harness.make_generate_fn(engine, args.mode),
+        harness.make_generate_fn(engine, args.mode, fused=args.fused),
         encode_fn=encode_fn,
         decode_fn=decode_fn,
         questions=questions,

@@ -207,16 +207,31 @@ def speed_ratio(eagle_file: str, baseline_file: str) -> float:
     return tps(eagle_file) / tps(baseline_file)
 
 
-def make_generate_fn(engine, mode: str = "eagle"):
-    """Adapt EagleEngine to the harness interface."""
-    if mode == "eagle":
+def make_generate_fn(engine, mode: str = "eagle", fused: bool = False):
+    """Adapt EagleEngine to the harness interface.
+
+    fused=True uses the single-dispatch generation paths (one device
+    round-trip per request instead of one per decode round) — the right
+    timing mode on remote/high-RTT links and the realistic serving
+    latency generally. Trade-off: the fused while_loop aggregates
+    acceptance on device, so per-round accept_lens (the per-depth α
+    detail) are not recorded; τ and the speed ratio are unaffected
+    (new_tokens and rounds are exact)."""
+    if mode == "eagle" and fused:
+        def fn(ids, max_new):
+            out, ntok, rounds = engine.generate_fused(
+                ids, max_new_tokens=max_new, log=True)
+            return out, {"new_tokens": int(ntok), "rounds": int(rounds),
+                         "accept_lens": []}
+    elif mode == "eagle":
         def fn(ids, max_new):
             out, stats = engine.generate(ids, max_new_tokens=max_new,
                                          details=True)
             return out, stats
     else:
         def fn(ids, max_new):
-            out = engine.generate_vanilla(ids, max_new_tokens=max_new)
+            out = engine.generate_vanilla(ids, max_new_tokens=max_new,
+                                          fused=fused)
             n = len(out) - len(ids)
             return out, {"new_tokens": n, "rounds": n, "accept_lens": []}
     return fn

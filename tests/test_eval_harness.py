@@ -63,3 +63,29 @@ def test_sharding_splits_questions():
         sub = list(qs)[shard::3]
         got += [q["question_id"] for q in sub]
     assert sorted(got) == list(range(10))
+
+
+def test_harness_fused_mode(tmp_path):
+    """fused=True (single-dispatch generation): same answers and τ as the
+    host-loop paths — only accept_lens detail is absent."""
+    eng = make_engine(1)
+    questions = harness.load_questions(DATA, 0, 1)
+    out_h = str(tmp_path / "host.jsonl")
+    out_f = str(tmp_path / "fused.jsonl")
+    recs_h = harness.run_benchmark(
+        harness.make_generate_fn(eng, "eagle"), _encode, _decode,
+        questions, out_h, max_new_tokens=24, num_warmup=0)
+    recs_f = harness.run_benchmark(
+        harness.make_generate_fn(eng, "eagle", fused=True), _encode,
+        _decode, questions, out_f, max_new_tokens=24, num_warmup=0)
+    ch, cf = recs_h[0]["choices"][0], recs_f[0]["choices"][0]
+    assert cf["turns"] == ch["turns"]          # greedy: identical text
+    assert cf["new_tokens"] == ch["new_tokens"]
+    assert cf["idxs"] == ch["idxs"]            # same round counts
+    assert all(not a for a in cf.get("accept_lens", []))
+    # fused baseline runs too
+    recs_b = harness.run_benchmark(
+        harness.make_generate_fn(eng, "baseline", fused=True), _encode,
+        _decode, questions, str(tmp_path / "bf.jsonl"),
+        max_new_tokens=24, num_warmup=0)
+    assert harness.summarize(recs_b)["tau"] == 1.0
