@@ -899,6 +899,12 @@ class EagleEngine:
                 if done[i]:
                     continue
                 for t in toks[i, : alens[i] + 1]:
+                    if new_counts[i] >= max_new_tokens:
+                        # trim in-round overshoot — the single-sequence
+                        # path caps at exactly max_new (_trim_overshoot),
+                        # and batched outputs must match it token-for-token
+                        done[i] = True
+                        break
                     outs[i].append(int(t))
                     new_counts[i] += 1
                     if (self.eos_token_id is not None

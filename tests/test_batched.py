@@ -92,3 +92,28 @@ def test_batch_fused_forced_replay_rejects_bad_inputs():
     with np.testing.assert_raises(ValueError):
         sampled.generate_batch_fused(prompts, max_new_tokens=8,
                                      force_tokens=[full])
+
+
+def test_batch_int4_target_stacked_matches_single(monkeypatch):
+    """Batched (vmapped) rounds over a STACKED int4 target: the layer
+    index rides in the scan's xs so it stays unbatched under vmap, and
+    the stacked kernel's custom_vmap rule flattens the batch into M —
+    exactly the B=8 serving composition on TPU. Forced through the
+    interpreted kernel; each sequence must reproduce its single-sequence
+    output bit-for-bit."""
+    from eagle_tpu.engine.engine import EagleEngine
+    from eagle_tpu.ops import quant4
+
+    eng0 = make_engine(3)
+    qparams = quant4.quantize_target_params4(eng0.params)
+    monkeypatch.setattr(quant4, "FORCE_INTERPRET", True)
+    eng = EagleEngine(qparams, eng0.cfg, eng0.dparams, eng0.dcfg, eng0.ecfg)
+    prompts = [
+        np.array([5, 17, 92, 3], np.int32),
+        np.array([7, 1], np.int32),
+        np.array([44, 8, 21, 9, 62, 13], np.int32),
+    ]
+    singles = [eng.generate(p, max_new_tokens=16) for p in prompts]
+    batched = eng.generate_batch(prompts, max_new_tokens=16)
+    for s, b in zip(singles, batched):
+        np.testing.assert_array_equal(b, s)
