@@ -131,3 +131,19 @@ def test_kernel_matches_xla_bf16_rows():
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ref_ids))
     np.testing.assert_allclose(np.asarray(lp), np.asarray(ref_lp),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_engine_v1_draft_quantized_target_head_fused(monkeypatch):
+    """EAGLE-1 drafts score with the TARGET's lm_head (cnets1.py:702,732);
+    with an int8 target that head is a quantized dict, so fused scoring
+    applies to v1 + quantized-target engines too — greedy must equal the
+    quantized engine's own vanilla decode."""
+    monkeypatch.setattr(stk, "FORCE_INTERPRET", True)
+    eng0 = make_engine(1)
+    qparams = quant.quantize_target_params(eng0.params)
+    ecfg = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256,
+                        fuse_scoring=True)
+    eng = EagleEngine(qparams, eng0.cfg, eng0.dparams, eng0.dcfg, ecfg)
+    ref = eng.generate_vanilla(PROMPT, max_new_tokens=20)
+    out = eng.generate(PROMPT, max_new_tokens=20)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
