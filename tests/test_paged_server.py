@@ -146,3 +146,23 @@ def test_page_size_must_divide_bucket_quantum():
     eng = make_engine(1)
     with pytest.raises(ValueError, match="page_size"):
         PagedEagleServer(eng, max_batch=2, page_size=24)  # 128 % 24 != 0
+
+
+def test_paged_int4_target_matches_singles():
+    """Paged serving over a STACKED int4 target (the quantized serving
+    point behind PagedEagleServer): outputs bit-identical to the same
+    engine's single-request generate."""
+    from eagle_tpu.ops import quant4
+
+    eng0 = make_engine(3)
+    qparams = quant4.quantize_target_params4(eng0.params)
+    from eagle_tpu.engine.engine import EagleEngine
+    eng = EagleEngine(qparams, eng0.cfg, eng0.dparams, eng0.dcfg, eng0.ecfg)
+    budgets = [18, 14]
+    singles = [eng.generate(p, max_new_tokens=b)
+               for p, b in zip(PROMPTS[:2], budgets)]
+    srv = PagedEagleServer(eng, max_batch=2, page_size=16)
+    rids = [srv.submit(p, b) for p, b in zip(PROMPTS[:2], budgets)]
+    outs = srv.run()
+    for rid, ref in zip(rids, singles):
+        np.testing.assert_array_equal(outs[rid], ref)
