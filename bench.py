@@ -435,18 +435,37 @@ def main():
     # to exact 128-quantum buckets; the single decode step and dispatch
     # overhead cancel in the difference). Prefill is the MXU-bound phase —
     # MFU vs the 197 TFLOP/s peak is the honest utilization number.
-    PF_LO, PF_HI = 256, 768
+    # Measurement discipline (BENCH_r04 lesson: a 256→768 best-of-3 slope
+    # collapsed into mfu=3.1 because the expected Δt ≈ 24 ms was the same
+    # order as the tunnel's dispatch jitter): widest spread the engine
+    # holds (128→896, Δt ≈ 36 ms), min-of-5 per point, and a physicality
+    # clamp — one remeasure on MFU > 1.0, then null rather than impossible.
+    PF_LO, PF_HI = 128, 896
     pf_prompts = {n: rng.integers(0, V, size=n).astype(np.int32)
                   for n in (PF_LO, PF_HI)}
-    tp_lo, _ = timed(lambda: retry_flake(lambda: eng.generate_vanilla(
-        pf_prompts[PF_LO], max_new_tokens=1, fused=True)))
-    tp_hi, _ = timed(lambda: retry_flake(lambda: eng.generate_vanilla(
-        pf_prompts[PF_HI], max_new_tokens=1, fused=True)))
-    pf_dt = max(tp_hi - tp_lo, 1e-9)
-    prefill_tps = (PF_HI - PF_LO) / pf_dt
-    mfu_prefill = (2 * n_target_params * (PF_HI - PF_LO) / pf_dt) / PEAK_FLOPS
-    log(f"[bench] prefill {prefill_tps:.0f} tok/s (MFU {mfu_prefill:.2f}; "
-        f"slope {PF_LO}->{PF_HI})")
+
+    def measure_prefill(reps=5):
+        tp_lo, _ = timed(lambda: retry_flake(lambda: eng.generate_vanilla(
+            pf_prompts[PF_LO], max_new_tokens=1, fused=True)), n=reps)
+        tp_hi, _ = timed(lambda: retry_flake(lambda: eng.generate_vanilla(
+            pf_prompts[PF_HI], max_new_tokens=1, fused=True)), n=reps)
+        dt = max(tp_hi - tp_lo, 1e-9)
+        tps = (PF_HI - PF_LO) / dt
+        mfu = (2 * n_target_params * (PF_HI - PF_LO) / dt) / PEAK_FLOPS
+        return tps, mfu
+
+    prefill_tps, mfu_prefill = measure_prefill()
+    if mfu_prefill > 1.0:
+        log(f"[bench] prefill MFU {mfu_prefill:.2f} > 1 (tunnel jitter "
+            "swallowed the slope); remeasuring once")
+        prefill_tps, mfu_prefill = measure_prefill(reps=7)
+    if mfu_prefill > 1.0:
+        log(f"[bench] prefill MFU still impossible ({mfu_prefill:.2f}); "
+            "reporting null rather than a nonphysical number")
+        prefill_tps = mfu_prefill = None
+    else:
+        log(f"[bench] prefill {prefill_tps:.0f} tok/s "
+            f"(MFU {mfu_prefill:.2f}; slope {PF_LO}->{PF_HI})")
 
     def measure_engine(e, idxs=(0, 1, 2), reps=3, forced=True):
         """Median (τ, round_ms, live_agreement) over corpus rows `idxs`,
@@ -726,6 +745,67 @@ def main():
     if "8" in serving:
         stage("serving_tree_b8", 150, run_tree_b8)
 
+    # ---- int8 KV cache at the operating points where KV streaming is real
+    # HBM traffic (EngineConfig.kv_quant="int8", ops/kv_cache.py): B=8 at
+    # ~1.9 GB of per-round KV reads (28L·8h·2048rows·128d·2B·2(k,v)·8slots)
+    # and B=1 at ≥3.8k live context. Round time is τ-independent (fixed
+    # shapes), so the clean comparison is the Δtime/Δrounds slope per KV
+    # mode on identical prompts; aggregate tok/s rides along. Greedy
+    # bit-exactness *within* the int8-KV point is the tested invariant
+    # (tests/test_kv_int8.py); this stage measures what the halved
+    # streaming buys.
+    kv8 = {}
+
+    def run_kv8():
+        CTXB, NB = 1900, 8
+        bp = [rng.integers(0, V, size=CTXB).astype(np.int32)
+              for _ in range(NB)]
+        for kvq in ("none", "int8"):
+            e = eng_best._sibling(max_len=2048, kv_buckets=None,
+                                  kv_quant=kvq)
+
+            def runb(budget, e=e):
+                _, committed, rounds = retry_flake(
+                    lambda: e.generate_batch_fused(bp, max_new_tokens=budget,
+                                                   log=True))
+                return sum(committed), rounds
+
+            tb_lo, (n_lo, r_lo) = timed(lambda: runb(LO), n=2)
+            tb_hi, (n_hi, r_hi) = timed(lambda: runb(HI), n=2)
+            dr = max(r_hi - r_lo, 1)
+            kv8[f"b8_ctx{CTXB}_round_ms_{kvq}"] = round(
+                1e3 * (tb_hi - tb_lo) / dr, 2)
+            kv8[f"b8_ctx{CTXB}_agg_tps_{kvq}"] = round(
+                (n_hi - n_lo) / max(tb_hi - tb_lo, 1e-9), 1)
+            del e
+        log(f"[bench] kv int8 B=8 ctx{CTXB}: "
+            f"bf16 {kv8[f'b8_ctx{CTXB}_round_ms_none']}ms vs "
+            f"int8 {kv8[f'b8_ctx{CTXB}_round_ms_int8']}ms/round")
+
+    def run_kv1_long():
+        CTX1 = 3800
+        p1 = rng.integers(0, V, size=CTX1).astype(np.int32)
+        for kvq in ("none", "int8"):
+            e = eng_best._sibling(max_len=4096, kv_buckets=None,
+                                  kv_quant=kvq)
+
+            def run1(budget, e=e):
+                return retry_flake(lambda: e.generate_fused(
+                    p1, max_new_tokens=budget, log=True))
+
+            t_lo, o_lo = timed(lambda: run1(LO), n=2)
+            t_hi, o_hi = timed(lambda: run1(HI), n=2)
+            dr = max(o_hi[2] - o_lo[2], 1)
+            kv8[f"b1_ctx{CTX1}_round_ms_{kvq}"] = round(
+                1e3 * (t_hi - t_lo) / dr, 2)
+            del e
+        log(f"[bench] kv int8 B=1 ctx{CTX1}: "
+            f"bf16 {kv8[f'b1_ctx{CTX1}_round_ms_none']}ms vs "
+            f"int8 {kv8[f'b1_ctx{CTX1}_round_ms_int8']}ms/round")
+
+    stage("kv_int8_b8", 260, run_kv8)
+    stage("kv_int8_b1_long", 200, run_kv1_long)
+
     log(f"[bench] total {time.time()-t0:.0f}s "
         f"(budget {BUDGET_S:.0f}s)")
     print(json.dumps({
@@ -742,8 +822,10 @@ def main():
         "tau": round(tau, 2),
         "speedup_at_tau": speedup_at,
         "live_agreement": round(live, 3),
-        "prefill_tps": round(prefill_tps, 0),
-        "mfu_prefill": round(mfu_prefill, 3),
+        "prefill_tps": (None if prefill_tps is None
+                        else round(prefill_tps, 0)),
+        "mfu_prefill": (None if mfu_prefill is None
+                        else round(mfu_prefill, 3)),
         "round_ms": round(round_ms, 2),
         "vanilla_step_ms": round(vstep_ms, 2),
         "mbu_vanilla": round(mbu_vanilla, 3),
@@ -753,6 +835,7 @@ def main():
         **({"kernel_ab_round_ms": ab} if ab else {}),
         **({"serving_agg_tps": serving} if "8" in serving else {}),
         **({"serving_tree_b8": serving_tree_b8} if serving_tree_b8 else {}),
+        **({"kv_int8": kv8} if kv8 else {}),
         **({f"{q}_qat": r for q, r in quant_results.items()}),
     }))
 

@@ -267,20 +267,39 @@ class EngineConfig:
     depth: int = 5           # draft expansion steps
     top_k: int = 10          # beam width / children per node
     max_len: int = 2048      # preallocated KV slots
-    # acceptance rule under temperature>0 (both are lossless — validated by
-    # the Monte-Carlo harness, tests/test_losslessness_mc.py):
-    #   dynamic trees always use the q(x)=1 multi-round rejection rule,
-    #   which is exactly correct for deterministic top-k candidates
-    #   (utils.py:398-399 — not a simplification in that regime);
-    #   "true_q" additionally switches STATIC trees to sampled-without-
-    #   replacement candidates + true-q(x) rejection
-    #   (modeling_eagle.py:842-860, 1352-1459 semantics).
+    # acceptance rule under temperature>0 (all are lossless — validated by
+    # the Monte-Carlo harnesses, tests/test_losslessness_mc.py +
+    # test_engine_fake_backend_mc.py):
+    #   "q1"     — deterministic top-k candidates + the q(x)=1 multi-round
+    #              rejection rule everywhere, which is exactly correct for
+    #              deterministic candidates (utils.py:398-399 — not a
+    #              simplification in that regime);
+    #   "true_q" — additionally switches STATIC trees to sampled-without-
+    #              replacement candidates + true-q(x) rejection
+    #              (modeling_eagle.py:842-860, 1352-1459 semantics);
+    #   "true_q_dynamic" — true_q everywhere, including EAGLE-2/3 DYNAMIC
+    #              trees, via two-pass drafting (engine/drafter.py
+    #              draft_round sampled mode): the deterministic beam fixes
+    #              the tree SHAPE (context-measurable — the condition the
+    #              true-q conditional law needs; adaptive pruning of
+    #              sampled candidates would bias it), then the shape is
+    #              re-expanded with Gumbel without-replacement draws.
+    #              Costs ~one extra draft pass per round; higher acceptance
+    #              when the draft models the target's sampling distribution
+    #              well. Greedy (temperature=0) paths are unaffected.
     acceptance: str = "true_q"
     # draft-head weight quantization: "none" | "int8" (ops/quant.py) |
     # "int4" (group-128 packed nibbles + Pallas matmul kernel,
     # ops/quant4.py). The draft only proposes; quantizing it can lower τ
     # but never changes the output distribution.
     draft_quant: str = "none"
+    # target KV-cache storage: "none" (model dtype) | "int8" (per-row absmax
+    # int8 + fp32 scale side arrays, ops/kv_cache.py). Halves decode-round
+    # KV streaming and doubles paged-pool capacity; a serving operating
+    # point — greedy spec output stays bit-identical to generate_vanilla
+    # *within* the int8-KV point (both paths share quantize-on-write +
+    # scale-folded reads). The draft KV stays bf16 (it is ~1 layer).
+    kv_quant: str = "none"
     # accepted-branch KV compaction:
     #   "xla"    — gather + dynamic_update_slice (ops/kv_cache.py)
     #   "pallas" — in-place DMA kernel (ops/pallas_attn.py:compact_rows),

@@ -99,6 +99,35 @@ class DraftRound(NamedTuple):
     dcache: KVCache  # committed draft cache (length excludes beam scratch)
 
 
+def _gumbel_topk_candidates(dparams, dcfg, ecfg, logits_rows, sub_key, temp,
+                            k):
+    """Sample k candidates per row WITHOUT replacement (Gumbel top-k over
+    the processed draft distribution — the modeling_eagle.py:842-860
+    `sample` analog; Gumbel order is distributionally the sequential
+    without-replacement draw order the true-q rule assumes).
+
+    logits_rows: [n, dV] → (tokens [n, k] target-vocab in draw order,
+    probs_tgt [n, V_target] — the processed distribution each row's
+    candidates were drawn from, scattered to target-vocab ids)."""
+    from .sampling import process_logits
+
+    proc = process_logits(logits_rows, temp, ecfg.sampling_top_k, ecfg.top_p)
+    probs = jax.nn.softmax(proc, axis=-1)                  # [n, dV]
+    g = -jnp.log(-jnp.log(jax.random.uniform(
+        sub_key, probs.shape, jnp.float32, 1e-20, 1.0)))
+    _, tk = topk_rows(jnp.log(jnp.maximum(probs, 1e-30)) + g, k)
+    toks = draft_mod.map_draft_to_target(dparams, dcfg, tk)
+    dV = probs.shape[-1]
+    if dV != dcfg.vocab_size:  # scatter reduced-vocab probs to target ids
+        ids = draft_mod.map_draft_to_target(
+            dparams, dcfg, jnp.arange(dV, dtype=jnp.int32))
+        probs_tgt = jnp.zeros(probs.shape[:-1] + (dcfg.vocab_size,),
+                              jnp.float32).at[..., ids].set(probs)
+    else:
+        probs_tgt = probs
+    return toks, probs_tgt
+
+
 class StaticTreeSpec:
     """Host-side static tree topology (EAGLE-1 style, utils_c.py:100-205).
 
@@ -167,7 +196,8 @@ def draft_round_static(dparams: dict, dcfg: DraftConfig, spec: StaticTreeSpec,
     import numpy as np
 
     sampled = (ecfg is not None and key is not None
-               and ecfg.temperature > 0 and ecfg.acceptance == "true_q")
+               and ecfg.temperature > 0
+               and ecfg.acceptance in ("true_q", "true_q_dynamic"))
     if sampled:
         temp = (ecfg.temperature if temperature is None
                 else jnp.maximum(temperature, 1e-4))
@@ -178,23 +208,8 @@ def draft_round_static(dparams: dict, dcfg: DraftConfig, spec: StaticTreeSpec,
         if not sampled:
             _, tk = topk_rows(logits_rows, k)
             return draft_mod.map_draft_to_target(dparams, dcfg, tk), None
-        from .sampling import process_logits
-        proc = process_logits(logits_rows, temp,
-                              ecfg.sampling_top_k, ecfg.top_p)
-        probs = jax.nn.softmax(proc, axis=-1)             # [n, dV]
-        g = -jnp.log(-jnp.log(jax.random.uniform(
-            sub_key, probs.shape, jnp.float32, 1e-20, 1.0)))
-        _, tk = topk_rows(jnp.log(jnp.maximum(probs, 1e-30)) + g, k)
-        toks = draft_mod.map_draft_to_target(dparams, dcfg, tk)
-        dV = probs.shape[-1]
-        if dV != dcfg.vocab_size:  # scatter reduced-vocab probs to target ids
-            ids = draft_mod.map_draft_to_target(
-                dparams, dcfg, jnp.arange(dV, dtype=jnp.int32))
-            probs_tgt = jnp.zeros(probs.shape[:-1] + (dcfg.vocab_size,),
-                                  jnp.float32).at[..., ids].set(probs)
-        else:
-            probs_tgt = probs
-        return toks, probs_tgt
+        return _gumbel_topk_candidates(dparams, dcfg, ecfg, logits_rows,
+                                       sub_key, temp, k)
 
     k = spec.k
     T = ext_tokens.shape[0]
@@ -286,7 +301,9 @@ def _beam_mask(anc: jnp.ndarray, S: int, dlen: jnp.ndarray) -> jnp.ndarray:
 def draft_round(dparams: dict, dcfg: DraftConfig, ecfg: EngineConfig,
                 ext_tokens: jnp.ndarray, ext_feats: jnp.ndarray,
                 n_new: jnp.ndarray, dcache: KVCache,
-                target_lm_head: Optional[jnp.ndarray] = None) -> DraftRound:
+                target_lm_head: Optional[jnp.ndarray] = None,
+                key: Optional[jax.Array] = None,
+                temperature=None) -> DraftRound:
     """Extend the draft cache with accepted pairs, then grow a new tree.
 
     ext_tokens: [T] int32 — padded pair tokens (row j: target token j+1 of the
@@ -296,6 +313,17 @@ def draft_round(dparams: dict, dcfg: DraftConfig, ecfg: EngineConfig,
     n_new: scalar int32 — number of valid pairs (= accept_len + 1; prompt
         length on the first call).
     dcache: draft KV cache; dcache.length[0] = committed pairs so far.
+
+    Sampled mode (ecfg.acceptance == "true_q_dynamic", temperature > 0, key
+    given): two-pass drafting for lossless true-q acceptance on DYNAMIC
+    trees. The deterministic beam below still runs in full and fixes the
+    tree SHAPE — a deterministic function of the committed context, hence
+    independent of the candidate draws (pruning sampled candidates by their
+    own scores would bias the true-q conditional law; see
+    tests/test_losslessness_mc.py). `_expand_sampled_shape` then re-expands
+    that shape level-synchronously with Gumbel without-replacement draws,
+    children occupying draw-order ranks (prefix-closed), and threads
+    Tree.node_probs for engine/accept.py:accept_sampled_true_q.
     """
     k, depth, total = ecfg.top_k, ecfg.depth, ecfg.total_tokens
     T = ext_tokens.shape[0]
@@ -387,8 +415,103 @@ def draft_round(dparams: dict, dcfg: DraftConfig, ecfg: EngineConfig,
 
     tokens_full = jnp.concatenate([root_token[None], tokens_flat[sel]])
     parents_full = jnp.concatenate([jnp.zeros((1,), jnp.int32), tree_parents])
-    tree = build_tree(tokens_full, parents_full, k, max_depth=depth + 2)
 
+    sampled = (key is not None and ecfg.temperature > 0
+               and ecfg.acceptance == "true_q_dynamic")
+    if sampled:
+        temp = (ecfg.temperature if temperature is None
+                else jnp.maximum(temperature, 1e-4))
+        cache = KVCache(k=carry["k_cache"], v=carry["v_cache"],
+                        length=dlen[None])
+        return _expand_sampled_shape(
+            dparams, dcfg, ecfg, parents_full, cache, dlen, root_hidden,
+            root_token, target_lm_head, key, temp)
+
+    tree = build_tree(tokens_full, parents_full, k, max_depth=depth + 2)
     dcache_out = KVCache(k=carry["k_cache"], v=carry["v_cache"],
                          length=dlen[None])
     return DraftRound(tree=tree, dcache=dcache_out)
+
+
+def _expand_sampled_shape(dparams: dict, dcfg: DraftConfig,
+                          ecfg: EngineConfig, parents: jnp.ndarray,
+                          cache: KVCache, dlen: jnp.ndarray,
+                          root_hidden: jnp.ndarray, root_token: jnp.ndarray,
+                          target_lm_head, key: jax.Array,
+                          temp) -> DraftRound:
+    """Pass 2 of sampled dynamic drafting: re-expand a traced tree SHAPE
+    (`parents`, from the deterministic beam) with per-node Gumbel
+    without-replacement candidate draws.
+
+    Level-synchronous fixed-shape evaluation: every iteration forwards ALL
+    N−1 non-root rows (tree KV scratch at cache rows [dlen, dlen+N−1), node
+    order); only rows at the current depth consume fresh inputs. Rows at
+    shallower depths recompute bit-identically (a row's K/V depends only on
+    its own finalized (token, parent-hidden) input), deeper rows hold
+    garbage that the ancestor-only masks never attend. The final iteration
+    therefore leaves every row's KV correct — no per-level blending of the
+    cache is needed; only the [N, H] hidden table is blended per level.
+    """
+    from ..ops.tree import ancestor_mask, depths_from_mask
+
+    k, depth = ecfg.top_k, ecfg.depth
+    N = parents.shape[0]
+    S = cache.max_len
+    max_depth = depth + 2  # node depths span [0, depth+1]
+
+    anc = ancestor_mask(parents, max_depth)                # [N, N]
+    depths = depths_from_mask(anc)                         # [N]
+    # sibling rank in node-index order == draw-order rank (prefix-closed:
+    # the shape keeps the first m_n draws of each node)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    onehot = jax.nn.one_hot(parents, N, dtype=jnp.int32) * (idx > 0)[:, None]
+    rank = jnp.cumsum(onehot, axis=0) - onehot
+    sib_rank = jnp.take_along_axis(rank, parents[:, None], axis=1)[:, 0]
+
+    keys = jax.random.split(key, max_depth)
+    H = root_hidden.shape[-1]
+    node_tokens = jnp.zeros((N,), jnp.int32).at[0].set(root_token)
+    node_hidden = jnp.zeros((N, H), dcfg.dtype).at[0].set(root_hidden)
+    node_probs = jnp.zeros((N, dcfg.vocab_size), jnp.float32)
+
+    root_logits = draft_mod.draft_logits(dparams, dcfg, root_hidden,
+                                         target_lm_head)
+    root_draws, root_q = _gumbel_topk_candidates(
+        dparams, dcfg, ecfg, root_logits[None], keys[0], temp, k)
+    draws = jnp.zeros((N, k), jnp.int32).at[0].set(root_draws[0])
+    node_probs = node_probs.at[0].set(root_q[0])
+
+    # rows 1..N-1 ride at cache columns [dlen, dlen + N - 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (N - 1, S), 1)
+    mask = (col < dlen) | jax.lax.dynamic_update_slice(
+        jnp.zeros((N - 1, S), bool), anc[1:, 1:], (0, dlen))
+    pos = (dlen + depths[1:] - 1)[None]                    # [1, N-1]
+
+    for d in range(1, max_depth):
+        at_d = depths == d                                 # [N]
+        tok_d = draws[parents, sib_rank]                   # [N]
+        node_tokens = jnp.where(at_d & (idx > 0), tok_d, node_tokens)
+        feats = node_hidden[parents[1:]]                   # [N-1, H]
+        lvl_cache = KVCache(k=cache.k, v=cache.v, length=dlen[None])
+        res = draft_mod.forward(dparams, dcfg, node_tokens[None, 1:],
+                                feats[None], lvl_cache, pos, mask[None])
+        cache = res.cache
+        hid = res.hidden[0]                                # [N-1, H]
+        node_hidden = jnp.where((at_d & (idx > 0))[:, None],
+                                jnp.concatenate([node_hidden[:1], hid]),
+                                node_hidden)
+        if d < max_depth - 1:  # leaf draws are never consumed
+            logits = draft_mod.draft_logits(dparams, dcfg, hid,
+                                            target_lm_head)
+            tk, q = _gumbel_topk_candidates(dparams, dcfg, ecfg, logits,
+                                            keys[d], temp, k)
+            sel = (at_d & (idx > 0))[:, None]
+            draws = jnp.where(sel, jnp.concatenate([draws[:1], tk]), draws)
+            node_probs = jnp.where(
+                sel, jnp.concatenate([node_probs[:1], q]), node_probs)
+
+    tree = build_tree(node_tokens, parents, k, max_depth=max_depth,
+                      node_probs=node_probs)
+    return DraftRound(tree=tree,
+                      dcache=KVCache(k=cache.k, v=cache.v,
+                                     length=dlen[None]))

@@ -26,7 +26,9 @@ import numpy as np
 from ..config import DraftConfig, EngineConfig, ModelConfig
 from ..models import draft as draft_mod
 from ..models import transformer
-from ..ops.kv_cache import KVCache, compact_accepted, init_cache, with_length
+from ..ops.kv_cache import (KVCache, compact_accepted, init_cache,
+                            merge_rows, quantize_kv_rows, slice_rows,
+                            with_length)
 from ..ops.masks import TreeMaskSpec, prefill_mask
 from ..ops.tree import Tree
 from . import accept as accept_mod
@@ -89,6 +91,13 @@ class EagleEngine:
             # while reporting a quantized operating point
             raise ValueError(f"unknown draft_quant {ecfg.draft_quant!r} "
                              f"(expected 'none' | 'int8' | 'int4')")
+        if ecfg.kv_quant not in ("none", "int8"):
+            raise ValueError(f"unknown kv_quant {ecfg.kv_quant!r} "
+                             f"(expected 'none' | 'int8')")
+        if ecfg.acceptance not in ("q1", "true_q", "true_q_dynamic"):
+            raise ValueError(
+                f"unknown acceptance {ecfg.acceptance!r} "
+                "(expected 'q1' | 'true_q' | 'true_q_dynamic')")
         self.dparams, self.dcfg = dparams, dcfg
         self.ecfg = ecfg
         if ecfg.tree_paths is not None:
@@ -190,7 +199,8 @@ class EagleEngine:
                                       self._lm_head_w, ecfg=self.ecfg,
                                       key=key, temperature=temperature)
         return draft_round(dparams, self.dcfg, self.ecfg, ext_tokens,
-                           ext_feats, n_new, dcache, self._lm_head_w)
+                           ext_feats, n_new, dcache, self._lm_head_w,
+                           key=key, temperature=temperature)
 
     def _sibling(self, **ecfg_changes) -> "EagleEngine":
         """New engine sharing all params/caches-of-origin with an EngineConfig
@@ -254,14 +264,16 @@ class EagleEngine:
         c = self.cfg
         return init_cache(c.num_layers, 1, c.num_kv_heads,
                           rows if rows is not None else self._tgt_len(),
-                          c.head_dim, dtype=c.dtype)
+                          c.head_dim, dtype=c.dtype,
+                          kv_quant=self.ecfg.kv_quant)
 
     def init_draft_cache(self) -> KVCache:
         e, d = self.ecfg, self.dcfg
-        # draft scratch: beam rows (dynamic) or tree rows (static) +
+        # draft scratch: beam rows (dynamic; sampled two-pass mode also
+        # rewrites tree_size rows in place) or tree rows (static) +
         # extension-window padding
         scratch = (e.tree_size if self.static_spec is not None
-                   else (e.depth + 1) * e.top_k)
+                   else max((e.depth + 1) * e.top_k, e.tree_size))
         dft_len = e.max_len + scratch + self.path_len
         return init_cache(d.num_layers if d.version == 1 else 1, 1,
                           d.num_kv_heads, dft_len, d.head_dim, dtype=d.dtype)
@@ -296,15 +308,27 @@ class EagleEngine:
                 and Tp % self.sp_mesh.shape[self.sp_axis] == 0):
             from ..parallel.ring_attention import prefill_sp
 
-            hidden, taps, ks, vs = prefill_sp(params, self.cfg, tokens,
-                                              self.sp_mesh, axis=self.sp_axis)
+            hidden, taps, k_sp, v_sp = prefill_sp(params, self.cfg, tokens,
+                                                  self.sp_mesh,
+                                                  axis=self.sp_axis)
+            new_ks = new_vs = None
+            if cache.ks is not None:
+                # quantize the ring-attention K/V rows ([L,B,nkv,Tp,d]:
+                # absmax over d) on their way into the int8 cache
+                k_sp, sk = quantize_kv_rows(k_sp)
+                v_sp, sv = quantize_kv_rows(v_sp)
+                new_ks = jax.lax.dynamic_update_slice(cache.ks, sk,
+                                                      (0, 0, 0, 0))
+                new_vs = jax.lax.dynamic_update_slice(cache.vs, sv,
+                                                      (0, 0, 0, 0))
             new_k = jax.lax.dynamic_update_slice(
-                cache.k, ks.astype(cache.k.dtype), (0, 0, 0, 0, 0))
+                cache.k, k_sp.astype(cache.k.dtype), (0, 0, 0, 0, 0))
             new_v = jax.lax.dynamic_update_slice(
-                cache.v, vs.astype(cache.v.dtype), (0, 0, 0, 0, 0))
+                cache.v, v_sp.astype(cache.v.dtype), (0, 0, 0, 0, 0))
             res = transformer.ForwardResult(
                 hidden=hidden, pre_norm_hidden=hidden, taps=taps,
-                cache=KVCache(k=new_k, v=new_v, length=cache.length + Tp))
+                cache=KVCache(k=new_k, v=new_v, length=cache.length + Tp,
+                              ks=new_ks, vs=new_vs))
         else:
             pos = jnp.arange(Tp, dtype=jnp.int32)[None]
             mask = prefill_mask(Tp, S, cache.length)
@@ -414,18 +438,10 @@ class EagleEngine:
         to the engine level).
         """
         if kv_limit is not None and kv_limit < state.cache.max_len:
-            small = state._replace(cache=KVCache(
-                k=state.cache.k[:, :, :, :kv_limit, :],
-                v=state.cache.v[:, :, :, :kv_limit, :],
-                length=state.cache.length))
+            small = state._replace(cache=slice_rows(state.cache, kv_limit))
             new_small, out = self._round(params, dparams, small,
                                          batched=batched, ref=ref)
-            merged = KVCache(
-                k=state.cache.k.at[:, :, :, :kv_limit, :].set(
-                    new_small.cache.k),
-                v=state.cache.v.at[:, :, :, :kv_limit, :].set(
-                    new_small.cache.v),
-                length=new_small.cache.length)
+            merged = merge_rows(state.cache, new_small.cache, kv_limit)
             return new_small._replace(cache=merged), out
         e, tree = self.ecfg, state.tree
         S = state.cache.max_len
@@ -475,6 +491,7 @@ class EagleEngine:
             state.tokens, path_tokens[None], (0, Lc))
         use_pallas_compact = (
             e.compact_impl == "pallas" and not batched
+            and e.kv_quant == "none"  # kernel moves raw bf16 rows only
             and (jax.default_backend() != "tpu"
                  or self.cfg.head_dim % 128 == 0))
         if use_pallas_compact:
@@ -977,17 +994,11 @@ class EagleEngine:
     def _vanilla_step(self, params, cache, token, key,
                       kv_limit: Optional[int] = None, temperature=None):
         if kv_limit is not None and kv_limit < cache.max_len:
-            small = KVCache(k=cache.k[:, :, :, :kv_limit, :],
-                            v=cache.v[:, :, :, :kv_limit, :],
-                            length=cache.length)
+            small = slice_rows(cache, kv_limit)
             new_small, nxt, key = self._vanilla_step(params, small, token,
                                                      key,
                                                      temperature=temperature)
-            merged = KVCache(
-                k=cache.k.at[:, :, :, :kv_limit, :].set(new_small.k),
-                v=cache.v.at[:, :, :, :kv_limit, :].set(new_small.v),
-                length=new_small.length)
-            return merged, nxt, key
+            return merge_rows(cache, new_small, kv_limit), nxt, key
         S = cache.max_len
         pos = cache.length[0][None, None]
         mask = prefill_mask(1, S, cache.length)
@@ -1034,8 +1045,7 @@ class EagleEngine:
         padded = np.zeros((1, Tp), np.int32)
         padded[0, :Lp] = prompt
         e, c = self.ecfg, self.cfg
-        cache = init_cache(c.num_layers, 1, c.num_kv_heads, self._tgt_len(),
-                           c.head_dim, dtype=c.dtype)
+        cache = self.init_target_cache()
         key = jax.random.PRNGKey(seed)
         temp = self._temp(temperature)
         prefill = self._vanilla_prefill_jit.get(Tp)
@@ -1067,8 +1077,7 @@ class EagleEngine:
         padded = np.zeros((1, Tp), np.int32)
         padded[0, :Lp] = prompt
         e, c = self.ecfg, self.cfg
-        cache = init_cache(c.num_layers, 1, c.num_kv_heads, self._tgt_len(),
-                           c.head_dim, dtype=c.dtype)
+        cache = self.init_target_cache()
         key = jax.random.PRNGKey(seed)
         temp = self._temp(temperature)
 
@@ -1114,7 +1123,8 @@ def calibrate_total_tokens(params: dict, cfg: ModelConfig,
                            candidates=(40, 48, 50, 56, 60),
                            weights=(1.0, 1.05, 1.07, 1.1, 1.13),
                            max_len: int = 2048, reps: int = 20,
-                           batch: int = 1) -> int:
+                           batch: int = 1, kv_quant: str = "none",
+                           _debug_timings: Optional[list] = None) -> int:
     """Auto-tune the tree size: time a target forward at each candidate
     token count and pick the weighted argmin (ea_model.py:148-168 analog —
     the reference runs this when total_token == -1). Larger trees raise τ
@@ -1125,13 +1135,21 @@ def calibrate_total_tokens(params: dict, cfg: ModelConfig,
     tree forward is compute-bound (B·n tokens through the target each
     round), so verify time grows ~linearly in n and the weighted argmin
     shifts toward smaller trees — the serving-throughput knob the B=1
-    tuner cannot see."""
+    tuner cannot see.
+
+    Timing note: each rep transfers one logits ROW to the host inside the
+    timed region. `block_until_ready()` does NOT block through the axon
+    relay (CLAUDE.md) — a wait-only loop measures ~0.1 ms regardless of
+    work, so the argmin would be noise on real hardware. The per-rep host
+    transfer ([V] fp32, ~0.5 MB — negligible vs a target forward) is what
+    makes every candidate's timing real; it is the engine's own
+    generate_* np.asarray pattern applied here."""
     import time
 
     timings = []
     for n in candidates:
         cache = init_cache(cfg.num_layers, batch, cfg.num_kv_heads, max_len,
-                           cfg.head_dim, dtype=cfg.dtype)
+                           cfg.head_dim, dtype=cfg.dtype, kv_quant=kv_quant)
         tokens = jnp.zeros((batch, n), jnp.int32)
         pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None],
                                (batch, n))
@@ -1142,11 +1160,12 @@ def calibrate_total_tokens(params: dict, cfg: ModelConfig,
             res = transformer.forward(params, cfg, tokens, cache, pos, mask)
             return transformer.lm_head(params, cfg, res.hidden[:, -1])
 
-        fwd(params, tokens, cache, pos).block_until_ready()
+        np.asarray(fwd(params, tokens, cache, pos))  # compile + settle
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = fwd(params, tokens, cache, pos)
-        out.block_until_ready()
+            np.asarray(fwd(params, tokens, cache, pos))
         timings.append((time.perf_counter() - t0) / reps)
+    if _debug_timings is not None:
+        _debug_timings.extend(timings)
     scores = [t * w for t, w in zip(timings, weights)]
     return candidates[int(np.argmin(scores))]

@@ -66,6 +66,11 @@ def _strip(st: EngineState) -> PagedSlotState:
                           done=st.done, temperature=st.temperature)
 
 
+def _opt0(x):
+    """x[None] for optional arrays (int8-KV scale side arrays)."""
+    return None if x is None else x[None]
+
+
 @dataclass
 class _PrefillJob:
     """A chunked prefill in flight: the prompt's KV rows land in the pool
@@ -143,7 +148,8 @@ class PagedEagleServer(EagleServer):
         self.allocator = PageAllocator(num_pages)
         c = eng.cfg
         self._pool = init_pool(c.num_layers, c.num_kv_heads, num_pages,
-                               page_size, c.head_dim, dtype=c.dtype)
+                               page_size, c.head_dim, dtype=c.dtype,
+                               kv_quant=eng.ecfg.kv_quant)
         self._bt = [np.zeros((self.Bg, self.pages_per_slot), np.int32)
                     for _ in range(groups)]
         self._pages: Dict[Tuple[int, int], List[int]] = {}
@@ -173,7 +179,10 @@ class PagedEagleServer(EagleServer):
 
     @property
     def pool_bytes(self) -> int:
-        return self._pool.k.nbytes + self._pool.v.nbytes
+        n = self._pool.k.nbytes + self._pool.v.nbytes
+        if self._pool.ks is not None:
+            n += self._pool.ks.nbytes + self._pool.vs.nbytes
+        return n
 
     def submit(self, prompt_ids, max_new_tokens: int = 512,
                seed: int = 0, temperature=None) -> int:
@@ -209,7 +218,8 @@ class PagedEagleServer(EagleServer):
                           key, temp)
         big = jnp.zeros((1, self._S_tok), jnp.int32)
         big = jax.lax.dynamic_update_slice(big, st.tokens, (0, 0))
-        pool = scatter_prefix(pool, pages, st.cache.k, st.cache.v, self.P)
+        pool = scatter_prefix(pool, pages, st.cache.k, st.cache.v, self.P,
+                              cache_ks=st.cache.ks, cache_vs=st.cache.vs)
         return pool, _strip(st)._replace(tokens=big)
 
     def _alloc_pages(self, n: int) -> Optional[List[int]]:
@@ -289,15 +299,20 @@ class PagedEagleServer(EagleServer):
 
         def fn(params, dparams, win_tokens, next_tokens, R, pool, bt,
                dcache):
-            win_k, win_v = gather_windows(pool, bt[None], W, P)
-            cache = KVCache(k=win_k[0], v=win_v[0], length=R[None])
+            win_k, win_v, win_ks, win_vs = gather_windows(pool, bt[None], W,
+                                                          P)
+            cache = KVCache(k=win_k[0], v=win_v[0], length=R[None],
+                            ks=None if win_ks is None else win_ks[0],
+                            vs=None if win_vs is None else win_vs[0])
             pos = (R + jnp.arange(C, dtype=jnp.int32))[None]
             mask = prefill_mask(C, W, cache.length)
             res = transformer.forward(params, eng.cfg, win_tokens, cache,
                                       pos, mask)
             pool = scatter_rows(pool, bt[None], res.cache.k[None],
                                 res.cache.v[None], R[None], C, P,
-                                active=jnp.ones((1,), bool))
+                                active=jnp.ones((1,), bool),
+                                window_ks=_opt0(res.cache.ks),
+                                window_vs=_opt0(res.cache.vs))
             feats = _target_feats(res, eng.dcfg.version)       # [1, C, F]
             dmask = prefill_mask(C, dcache.max_len, dcache.length)
             dres = draft_mod.forward(dparams, eng.dcfg, next_tokens[None],
@@ -316,8 +331,11 @@ class PagedEagleServer(EagleServer):
 
         def fn(params, dparams, full_tokens, win_tokens, next_tokens, m, R,
                pool, bt, dcache, key, temperature):
-            win_k, win_v = gather_windows(pool, bt[None], W, P)
-            cache = KVCache(k=win_k[0], v=win_v[0], length=R[None])
+            win_k, win_v, win_ks, win_vs = gather_windows(pool, bt[None], W,
+                                                          P)
+            cache = KVCache(k=win_k[0], v=win_v[0], length=R[None],
+                            ks=None if win_ks is None else win_ks[0],
+                            vs=None if win_vs is None else win_vs[0])
             pos = (R + jnp.arange(Cf, dtype=jnp.int32))[None]
             mask = prefill_mask(Cf, W, cache.length)
             res = transformer.forward(params, eng.cfg, win_tokens, cache,
@@ -328,7 +346,9 @@ class PagedEagleServer(EagleServer):
             root = eng._pick_token(last_logits, k1, temperature)
             pool = scatter_rows(pool, bt[None], res.cache.k[None],
                                 res.cache.v[None], R[None], Cf, P,
-                                active=jnp.ones((1,), bool))
+                                active=jnp.ones((1,), bool),
+                                window_ks=_opt0(res.cache.ks),
+                                window_vs=_opt0(res.cache.vs))
             feats = _target_feats(res, eng.dcfg.version)[0]    # [Cf, F]
             ext_tokens = next_tokens.at[m - 1].set(root)
             dr = eng._draft_round(dparams, ext_tokens, feats, m, dcache,
@@ -498,8 +518,11 @@ class PagedEagleServer(EagleServer):
         def fn(params, dparams, full_tokens, win_tokens, n_new, pool, bt,
                dk_pre, dv_pre, key, temperature):
             start = jnp.int32(R - 1)
-            win_k, win_v = gather_windows(pool, bt[None], W, P)
-            cache = KVCache(k=win_k[0], v=win_v[0], length=start[None])
+            win_k, win_v, win_ks, win_vs = gather_windows(pool, bt[None], W,
+                                                          P)
+            cache = KVCache(k=win_k[0], v=win_v[0], length=start[None],
+                            ks=None if win_ks is None else win_ks[0],
+                            vs=None if win_vs is None else win_vs[0])
             pos = (start + jnp.arange(Te, dtype=jnp.int32))[None]
             mask = prefill_mask(Te, W, cache.length)
             res = transformer.forward(params, eng.cfg, win_tokens, cache,
@@ -511,7 +534,9 @@ class PagedEagleServer(EagleServer):
             # suffix rows [R, R-1+Te) land in this slot's own pages
             pool = scatter_rows(pool, bt[None], res.cache.k[None],
                                 res.cache.v[None], (start + 1)[None],
-                                Te - 1, P, active=jnp.ones((1,), bool))
+                                Te - 1, P, active=jnp.ones((1,), bool),
+                                window_ks=_opt0(res.cache.ks),
+                                window_vs=_opt0(res.cache.vs))
             feats = _target_feats(res, eng.dcfg.version)[0]        # [Te, F]
             ext_tokens = jnp.concatenate(
                 [win_tokens[0, 1:], jnp.zeros((1,), jnp.int32)]
@@ -662,22 +687,26 @@ class PagedEagleServer(EagleServer):
         eng, P, path_len = self.engine, self.P, self.engine.path_len
 
         def fn(params, dparams, pool, states, bt):
-            win_k, win_v = gather_windows(pool, bt, window, P)
+            win_k, win_v, win_ks, win_vs = gather_windows(pool, bt, window, P)
             starts, pre_active = states.length, ~states.done
 
-            def per_slot(s: PagedSlotState, wk, wv):
-                cache = KVCache(k=wk, v=wv, length=s.length[None])
+            def per_slot(s: PagedSlotState, wk, wv, wks, wvs):
+                cache = KVCache(k=wk, v=wv, length=s.length[None],
+                                ks=wks, vs=wvs)
                 est = EngineState(tokens=s.tokens, length=s.length,
                                   cache=cache, dcache=s.dcache, tree=s.tree,
                                   key=s.key, done=s.done,
                                   temperature=s.temperature)
                 new, out = eng._round(params, dparams, est, batched=True)
-                return _strip(new), new.cache.k, new.cache.v, out
+                return (_strip(new), new.cache.k, new.cache.v,
+                        new.cache.ks, new.cache.vs, out)
 
-            states, wk, wv, out = jax.vmap(
-                per_slot, in_axes=(0, 0, 0))(states, win_k, win_v)
+            states, wk, wv, wks, wvs, out = jax.vmap(
+                per_slot, in_axes=(0, 0, 0, 0, 0))(states, win_k, win_v,
+                                                   win_ks, win_vs)
             pool = scatter_rows(pool, bt, wk, wv, starts, path_len, P,
-                                active=pre_active)
+                                active=pre_active, window_ks=wks,
+                                window_vs=wvs)
             return pool, states, out
 
         return jax.jit(fn, donate_argnums=(2, 3))

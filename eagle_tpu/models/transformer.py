@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..ops.kv_cache import KVCache, update_layer
+from ..ops.kv_cache import KVCache, update_layer, update_layer_q
 from ..ops.masks import TreeMaskSpec, tree_mask_full
 from .rope import apply_rope, rope_tables
 
@@ -64,23 +64,36 @@ def _dense(x: jnp.ndarray, w, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
 
 
 def attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
-              mask: jnp.ndarray) -> jnp.ndarray:
+              mask: jnp.ndarray, ks: Optional[jnp.ndarray] = None,
+              vs: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Masked multi-head attention against the full KV buffer.
 
     q: [B, T, nq, d]; k_cache/v_cache: [B, n_kv, S, d]; mask: [B, T, S] bool
     (True = may attend). fp32 scores + softmax (modeling_llama_kv.py:740-742).
     Returns [B, T, nq*d].
+
+    ks/vs: optional int8-KV per-row scales [B, n_kv, S] (ops/kv_cache.py).
+    The dequant never materializes: the int8→bf16 convert fuses into the dot
+    operand, the K scale folds into the fp32 scores per column, and the V
+    scale folds into the fp32 probs per column — per-row math identical
+    between the T=1 vanilla step and the T=tree verify, so greedy
+    bit-exactness holds within the int8-KV operating point.
     """
     B, T, nq, d = q.shape
     n_kv = k_cache.shape[1]
     g = nq // n_kv
     qh = jnp.swapaxes(q, 1, 2).reshape(B, n_kv, g, T, d)
-    scores = jnp.einsum("bhgtd,bhsd->bhgts", qh, k_cache,
+    scores = jnp.einsum("bhgtd,bhsd->bhgts", qh, k_cache.astype(q.dtype),
                         preferred_element_type=jnp.float32)
+    if ks is not None:
+        scores = scores * ks[:, :, None, None, :]
     scores = scores * (d ** -0.5)
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhgts,bhsd->bhgtd", probs, v_cache,
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    if vs is not None:
+        probs = probs * vs[:, :, None, None, :]
+    probs = probs.astype(q.dtype)
+    out = jnp.einsum("bhgts,bhsd->bhgtd", probs, v_cache.astype(q.dtype),
                      preferred_element_type=jnp.float32).astype(q.dtype)
     return jnp.swapaxes(out.reshape(B, nq, T, d), 1, 2).reshape(B, T, nq * d)
 
@@ -227,13 +240,17 @@ def _layer(h: jnp.ndarray, lp: dict, cfg: ModelConfig,
            k_cache: jnp.ndarray, v_cache: jnp.ndarray,
            cos: jnp.ndarray, sin: jnp.ndarray,
            mask: jnp.ndarray, start: jnp.ndarray,
-           positions=None, sliding: jnp.ndarray | None = None):
-    """One decoder layer; returns (h, k_cache, v_cache).
+           positions=None, sliding: jnp.ndarray | None = None,
+           ks_cache=None, vs_cache=None):
+    """One decoder layer; returns (h, k_cache, v_cache, ks_cache, vs_cache).
 
     positions [B,T] + sliding (scalar bool) implement qwen2-style per-layer
     sliding-window attention: when sliding, prefix columns below
     position−window+1 are masked out (tree columns sit within ≤64 rows of
     the query and are never affected by realistic window sizes).
+
+    ks_cache/vs_cache: int8-KV row scales [B, n_kv, S] (None for bf16
+    caches) — quantize-on-write + scale-folded attention reads.
     """
     B, T, _ = h.shape
     x = rms_norm(h, lp["ln1"], cfg.rms_eps)
@@ -245,7 +262,11 @@ def _layer(h: jnp.ndarray, lp: dict, cfg: ModelConfig,
         k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    k_cache, v_cache = update_layer(k_cache, v_cache, k, v, start)
+    if ks_cache is not None:
+        k_cache, v_cache, ks_cache, vs_cache = update_layer_q(
+            k_cache, v_cache, ks_cache, vs_cache, k, v, start)
+    else:
+        k_cache, v_cache = update_layer(k_cache, v_cache, k, v, start)
     if cfg.sliding_window and sliding is not None and positions is not None:
         S_len = k_cache.shape[2]
         col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S_len), 2)
@@ -254,7 +275,9 @@ def _layer(h: jnp.ndarray, lp: dict, cfg: ModelConfig,
             mask = tree_mask_full(mask.tree_mask, S_len, mask.start)
         mask = mask & jnp.where(sliding, sw_ok, True)
     if isinstance(mask, TreeMaskSpec):
-        if cfg.attn_impl == "pallas_tree":
+        # the Pallas tree kernel reads raw bf16 KV; int8 caches take the
+        # XLA dense-mask path (scale-folded reads)
+        if cfg.attn_impl == "pallas_tree" and ks_cache is None:
             import jax as _jax
 
             from ..ops.pallas_attn import tree_attention
@@ -267,9 +290,11 @@ def _layer(h: jnp.ndarray, lp: dict, cfg: ModelConfig,
         else:
             dense = tree_mask_full(mask.tree_mask, k_cache.shape[2],
                                    mask.start)
-            attn_out = attention(q, k_cache, v_cache, dense)
+            attn_out = attention(q, k_cache, v_cache, dense,
+                                 ks=ks_cache, vs=vs_cache)
     else:
-        attn_out = attention(q, k_cache, v_cache, mask)
+        attn_out = attention(q, k_cache, v_cache, mask,
+                             ks=ks_cache, vs=vs_cache)
     h = h + _dense(attn_out, lp["wo"])
     x = rms_norm(h, lp["ln2"], cfg.rms_eps)
     if cfg.num_experts > 0:
@@ -277,7 +302,7 @@ def _layer(h: jnp.ndarray, lp: dict, cfg: ModelConfig,
                    if cfg.moe_impl == "capacity" else _mlp_moe(x, lp, cfg))
     else:
         mlp_out = _mlp_dense(x, lp)
-    return h + mlp_out, k_cache, v_cache
+    return h + mlp_out, k_cache, v_cache, ks_cache, vs_cache
 
 
 class ForwardResult(NamedTuple):
@@ -323,27 +348,29 @@ def forward(params: dict, cfg: ModelConfig, tokens: jnp.ndarray, cache: KVCache,
 
     def step(carry, xs):
         h, taps = carry
-        lp, k_cache, v_cache, idx = xs
+        lp, k_cache, v_cache, ks_c, vs_c, idx = xs
         if stacked4:
             lp = dict(lp)
             for name, qw in stacked4.items():
                 lp[name] = Stacked4(qw["q4"], qw["scale"], idx)
         taps = jnp.where((tap_layers == idx)[:, None, None, None], h[None], taps)
         sliding = sw_flags[idx] if sw_flags is not None else None
-        h, k_cache, v_cache = _layer(h, lp, cfg, k_cache, v_cache, cos, sin,
-                                     mask, start, positions=positions,
-                                     sliding=sliding)
-        return (h, taps), (k_cache, v_cache)
+        h, k_cache, v_cache, ks_c, vs_c = _layer(
+            h, lp, cfg, k_cache, v_cache, cos, sin, mask, start,
+            positions=positions, sliding=sliding,
+            ks_cache=ks_c, vs_cache=vs_c)
+        return (h, taps), (k_cache, v_cache, ks_c, vs_c)
 
     # the layer index rides in xs (not the carry) so it stays UNBATCHED
     # under vmapped rounds — the stacked kernel's custom_vmap rule can
     # then flatten the batch into M instead of lax.map-ing per slot
-    (h, taps), (k_new, v_new) = jax.lax.scan(
+    (h, taps), (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
         step, (h, taps0),
-        (xs_layers, cache.k, cache.v,
+        (xs_layers, cache.k, cache.v, cache.ks, cache.vs,
          jnp.arange(cfg.num_layers, dtype=jnp.int32))
     )
-    new_cache = KVCache(k=k_new, v=v_new, length=cache.length + T)
+    new_cache = KVCache(k=k_new, v=v_new, length=cache.length + T,
+                        ks=ks_new, vs=vs_new)
     hidden = rms_norm(h, params["final_norm"], cfg.rms_eps)
     taps = jnp.concatenate([taps[0], taps[1], taps[2]], axis=-1)
     return ForwardResult(hidden=hidden, pre_norm_hidden=h, taps=taps, cache=new_cache)

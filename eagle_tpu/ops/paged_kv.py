@@ -32,6 +32,10 @@ TPU-native design (vs. vLLM's CUDA paged-attention kernel):
   it, so the fixed-shape gather/scatter never needs a branch — reads from it
   are masked by attention (rows ≥ length), writes to it are discarded by
   construction.
+- int8-KV pools (`kv_quant="int8"`) add fp32 per-row scale arrays
+  `[L, R, n_kv]` (ops/kv_cache.py row quantization). Pages move the int8
+  payload + scales losslessly, halving pool bytes AND doubling the context
+  capacity a fixed pool holds.
 
 Allocation policy lives on the host (`engine/paged.py`): the device side
 here is pure fixed-shape array movement.
@@ -39,7 +43,7 @@ here is pure fixed-shape array movement.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +52,9 @@ import jax.numpy as jnp
 class PagePool(NamedTuple):
     k: jnp.ndarray  # [L, R, n_kv, d] — R = num_pages * page_size rows
     v: jnp.ndarray  # [L, R, n_kv, d]
+    # int8-KV per-row scales (None for bf16 pools): fp32 [L, R, n_kv]
+    ks: Optional[jnp.ndarray] = None
+    vs: Optional[jnp.ndarray] = None
 
     @property
     def rows(self) -> int:
@@ -55,21 +62,30 @@ class PagePool(NamedTuple):
 
 
 def init_pool(num_layers: int, num_kv_heads: int, num_pages: int,
-              page_size: int, head_dim: int, dtype=jnp.bfloat16) -> PagePool:
+              page_size: int, head_dim: int, dtype=jnp.bfloat16,
+              kv_quant: str = "none") -> PagePool:
     shape = (num_layers, num_pages * page_size, num_kv_heads, head_dim)
+    if kv_quant == "int8":
+        return PagePool(k=jnp.zeros(shape, jnp.int8),
+                        v=jnp.zeros(shape, jnp.int8),
+                        ks=jnp.zeros(shape[:-1], jnp.float32),
+                        vs=jnp.zeros(shape[:-1], jnp.float32))
+    if kv_quant != "none":
+        raise ValueError(f"unknown kv_quant {kv_quant!r}")
     return PagePool(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
 def gather_windows(pool: PagePool, block_tables: jnp.ndarray, window: int,
-                   page_size: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+                   page_size: int):
     """Materialize each slot's logical rows [0, window) as contiguous
     scratch.
 
     block_tables: [B, max_pages] int32 physical page ids (0 = trash page for
     slots/rows that were never allocated — their values are garbage and must
     be masked downstream, which attention's length masking already does).
-    Returns (k, v): [B, L, 1, n_kv, window, d] — the per-slot dense-cache
-    layout the engine round expects under vmap.
+    Returns (k, v, ks, vs): k/v [B, L, 1, n_kv, window, d] — the per-slot
+    dense-cache layout the engine round expects under vmap; ks/vs the
+    matching [B, L, 1, n_kv, window] scales, or None for bf16 pools.
     """
     L, R, n_kv, d = pool.k.shape
     P = page_size
@@ -87,13 +103,29 @@ def gather_windows(pool: PagePool, block_tables: jnp.ndarray, window: int,
         return (jnp.transpose(kw, (0, 2, 1, 3))[:, None],
                 jnp.transpose(vw, (0, 2, 1, 3))[:, None])
 
-    return jax.vmap(one)(pages)
+    k, v = jax.vmap(one)(pages)
+    if pool.ks is None:
+        return k, v, None, None
+    ksp = pool.ks.reshape(L, R // P, P, n_kv)
+    vsp = pool.vs.reshape(L, R // P, P, n_kv)
+
+    def one_s(pages_b):
+        ksw = jnp.take(ksp, pages_b, axis=1)             # [L, npg, P, nkv]
+        vsw = jnp.take(vsp, pages_b, axis=1)
+        ksw = ksw.reshape(L, npg * P, n_kv)[:, :window]
+        vsw = vsw.reshape(L, npg * P, n_kv)[:, :window]
+        return (jnp.transpose(ksw, (0, 2, 1))[:, None],
+                jnp.transpose(vsw, (0, 2, 1))[:, None])
+
+    ks, vs = jax.vmap(one_s)(pages)
+    return k, v, ks, vs
 
 
 def scatter_rows(pool: PagePool, block_tables: jnp.ndarray,
                  window_k: jnp.ndarray, window_v: jnp.ndarray,
                  starts: jnp.ndarray, n_rows: int, page_size: int,
-                 active: jnp.ndarray) -> PagePool:
+                 active: jnp.ndarray, window_ks=None,
+                 window_vs=None) -> PagePool:
     """Write each slot's window rows [starts_b, starts_b + n_rows) back to
     the pool (the rows a decode round modifies: the compacted accepted
     branch). `active`: [B] bool — inactive slots are routed to the trash
@@ -101,7 +133,8 @@ def scatter_rows(pool: PagePool, block_tables: jnp.ndarray,
     so the scatter is collision-free for active slots; trash-page collisions
     between inactive slots are harmless by definition.
 
-    window_k/v: [B, L, 1, n_kv, W, d]; starts: [B] int32.
+    window_k/v: [B, L, 1, n_kv, W, d]; starts: [B] int32;
+    window_ks/vs: [B, L, 1, n_kv, W] scales (int8 pools).
     """
     B = window_k.shape[0]
     L, R, n_kv, d = pool.k.shape
@@ -124,19 +157,35 @@ def scatter_rows(pool: PagePool, block_tables: jnp.ndarray,
     v_rows = jnp.transpose(v_rows, (1, 0, 3, 2, 4)).reshape(L, B * n_rows,
                                                             n_kv, d)
     flat = phys.reshape(B * n_rows)
+    new_ks, new_vs = pool.ks, pool.vs
+    if pool.ks is not None:
+        def srows_of(w_b, logical_b):
+            return jnp.take(w_b[:, 0], logical_b, axis=2)  # [L, n_kv, n]
+
+        ks_rows = jax.vmap(srows_of)(window_ks, logical)   # [B, L, n_kv, n]
+        vs_rows = jax.vmap(srows_of)(window_vs, logical)
+        ks_rows = jnp.transpose(ks_rows, (1, 0, 3, 2)).reshape(
+            L, B * n_rows, n_kv)
+        vs_rows = jnp.transpose(vs_rows, (1, 0, 3, 2)).reshape(
+            L, B * n_rows, n_kv)
+        new_ks = pool.ks.at[:, flat].set(ks_rows)
+        new_vs = pool.vs.at[:, flat].set(vs_rows)
     return PagePool(
         k=pool.k.at[:, flat].set(k_rows.astype(pool.k.dtype)),
-        v=pool.v.at[:, flat].set(v_rows.astype(pool.v.dtype)))
+        v=pool.v.at[:, flat].set(v_rows.astype(pool.v.dtype)),
+        ks=new_ks, vs=new_vs)
 
 
 def scatter_prefix(pool: PagePool, pages: jnp.ndarray, cache_k: jnp.ndarray,
-                   cache_v: jnp.ndarray, page_size: int) -> PagePool:
+                   cache_v: jnp.ndarray, page_size: int, cache_ks=None,
+                   cache_vs=None) -> PagePool:
     """Whole-page scatter of a freshly prefilled dense cache into the pool.
 
     cache_k/v: [L, 1, n_kv, Tp, d] with Tp % page_size == 0 (prompt buckets
     are multiples of the page size by construction); pages: [Tp / P] int32
     physical page ids covering logical rows [0, Tp). Rows past the true
     prompt length are garbage in the dense cache too — masked by length.
+    cache_ks/vs: [L, 1, n_kv, Tp] scales (int8 pools).
     """
     L, _, n_kv, Tp, d = cache_k.shape
     P = page_size
@@ -145,6 +194,13 @@ def scatter_prefix(pool: PagePool, pages: jnp.ndarray, cache_k: jnp.ndarray,
             + jnp.arange(P, dtype=jnp.int32)[None]).reshape(-1)     # [Tp]
     k_rows = jnp.transpose(cache_k[:, 0], (0, 2, 1, 3))             # [L,Tp,..]
     v_rows = jnp.transpose(cache_v[:, 0], (0, 2, 1, 3))
+    new_ks, new_vs = pool.ks, pool.vs
+    if pool.ks is not None:
+        ks_rows = jnp.transpose(cache_ks[:, 0], (0, 2, 1))          # [L,Tp,h]
+        vs_rows = jnp.transpose(cache_vs[:, 0], (0, 2, 1))
+        new_ks = pool.ks.at[:, phys].set(ks_rows)
+        new_vs = pool.vs.at[:, phys].set(vs_rows)
     return PagePool(
         k=pool.k.at[:, phys].set(k_rows.astype(pool.k.dtype)),
-        v=pool.v.at[:, phys].set(v_rows.astype(pool.v.dtype)))
+        v=pool.v.at[:, phys].set(v_rows.astype(pool.v.dtype)),
+        ks=new_ks, vs=new_vs)

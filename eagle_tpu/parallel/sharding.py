@@ -179,10 +179,13 @@ def cache_spec(shard_batch: bool = True) -> P:
     return P(None, b, "model", None, None)
 
 
-def kv_cache_specs(shard_batch: bool = True):
+def kv_cache_specs(shard_batch: bool = True, kv_quant: str = "none"):
     from ..ops.kv_cache import KVCache
+    b = "data" if shard_batch else None
+    # int8-KV scale side arrays [L, B, n_kv, S] shard with their rows
+    s = P(None, b, "model", None) if kv_quant == "int8" else None
     return KVCache(k=cache_spec(shard_batch), v=cache_spec(shard_batch),
-                   length=P("data" if shard_batch else None))
+                   length=P(b), ks=s, vs=s)
 
 
 def shard_params(params: dict, mesh: Mesh, specs: dict) -> dict:

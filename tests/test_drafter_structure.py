@@ -136,3 +136,44 @@ def test_topk_rows_matches_lax_top_k():
     xt = jnp.asarray([3.0, 7.0, 7.0, 1.0, 7.0], jnp.float32)
     _, it = topk_rows(xt, 3)
     np.testing.assert_array_equal(np.asarray(it), [1, 2, 4])
+
+
+def test_sampled_dynamic_shares_deterministic_shape():
+    """true_q_dynamic two-pass drafting: the sampled tree's SHAPE (parents,
+    hence depths/children) must equal the deterministic beam's — that
+    context-measurability is what makes true-q acceptance lossless on
+    dynamic trees (pruning sampled candidates by their own scores would
+    bias the conditional draw law). Tokens differ (Gumbel draws);
+    node_probs rows used for children are normalized distributions."""
+    dcfg, dparams, ext_tokens, ext_feats, n_new, head_w = _setup(seed=5)
+    ecfg_det = EngineConfig(total_tokens=14, depth=3, top_k=4, max_len=64)
+    ecfg_s = EngineConfig(total_tokens=14, depth=3, top_k=4, max_len=64,
+                          temperature=0.8, acceptance="true_q_dynamic")
+    det = draft_round(dparams, dcfg, ecfg_det, ext_tokens, ext_feats, n_new,
+                      _fresh_cache(dcfg), head_w)
+    smp = draft_round(dparams, dcfg, ecfg_s, ext_tokens, ext_feats, n_new,
+                      _fresh_cache(dcfg), head_w,
+                      key=jax.random.PRNGKey(42), temperature=jnp.float32(0.8))
+    np.testing.assert_array_equal(np.asarray(det.tree.parents),
+                                  np.asarray(smp.tree.parents))
+    assert det.tree.node_probs is None
+    assert smp.tree.node_probs is not None
+    # root token is the pinned pending token in both
+    assert int(det.tree.tokens[0]) == int(smp.tree.tokens[0])
+    probs = np.asarray(smp.tree.node_probs)
+    ch = np.asarray(smp.tree.children)
+    toks = np.asarray(smp.tree.tokens)
+    for n in range(len(toks)):
+        kids = ch[n][ch[n] >= 0]
+        if len(kids):
+            # the distribution children were drawn from is normalized and
+            # assigns positive mass to every drawn child
+            np.testing.assert_allclose(probs[n].sum(), 1.0, atol=1e-4)
+            assert np.all(probs[n][toks[kids]] > 0)
+    # draw-order prefix: two different keys give shape-identical trees
+    smp2 = draft_round(dparams, dcfg, ecfg_s, ext_tokens, ext_feats, n_new,
+                       _fresh_cache(dcfg), head_w,
+                       key=jax.random.PRNGKey(7),
+                       temperature=jnp.float32(0.8))
+    np.testing.assert_array_equal(np.asarray(smp.tree.parents),
+                                  np.asarray(smp2.tree.parents))

@@ -88,3 +88,61 @@ def test_full_engine_chain_distribution(monkeypatch, version):
     tol2 = 4 * np.sqrt(np.maximum(p2 * (1 - p2), 1e-12) / sel.sum())
     assert np.all(np.abs(emp2 - p2) <= tol2 + 0.02), (
         f"pos1|{t1} max dev {np.max(np.abs(emp2 - p2)):.4f}")
+
+
+@pytest.mark.parametrize("acceptance", ["true_q_dynamic", "q1"])
+def test_full_engine_chain_distribution_dynamic_sampled(monkeypatch,
+                                                        acceptance):
+    """The dynamic-tree sampled-candidate matrix cell: acceptance=
+    "true_q_dynamic" routes EAGLE-2/3 dynamic trees through two-pass
+    drafting (drafter.draft_round sampled mode → Tree.node_probs →
+    accept.accept_sampled_true_q). The emitted chains must follow the
+    Markov table exactly — the same gate the q=1 dynamic path ("q1"
+    parametrization, run as the control) and the static true_q path
+    already pass."""
+    rng = np.random.default_rng(11)
+    table = jnp.asarray(rng.normal(0, 1.5, size=(V, V)), jnp.float32)
+    _install_fake_target(monkeypatch, table)
+
+    cfg = ModelConfig(vocab_size=V, hidden_size=H, intermediate_size=32,
+                      num_layers=2, num_q_heads=2, num_kv_heads=2,
+                      head_dim=4, dtype=jnp.float32)
+    dcfg = DraftConfig(version=3, hidden_size=H, intermediate_size=32,
+                       num_q_heads=2, num_kv_heads=2, head_dim=4,
+                       vocab_size=V, target_hidden_size=H,
+                       dtype=jnp.float32)
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(2))
+    params = {"embed": {"w": jnp.zeros((V, H), jnp.float32)},
+              "lm_head": jnp.zeros((H, V), jnp.float32)}
+    ecfg = EngineConfig(total_tokens=7, depth=2, top_k=3, max_len=64,
+                        temperature=1.0, acceptance=acceptance)
+    eng = EagleEngine(params, cfg, dparams, dcfg, ecfg)
+
+    prompt = np.asarray([3], np.int32)
+    n = 1500
+    L = 3
+    seqs = np.stack([
+        eng.generate(prompt, max_new_tokens=L, seed=7000 + i)[1:]
+        for i in range(n)
+    ])
+    assert seqs.shape == (n, L)
+    if acceptance == "true_q_dynamic":
+        # the sampled path must actually be exercised: multi-token accepts
+        # happen (true-q accepts beyond the root with positive probability)
+        _, st = eng.generate(prompt, max_new_tokens=24, seed=1,
+                             details=True)
+        assert max(st["accept_lens"]) >= 1
+
+    p1 = np.asarray(jax.nn.softmax(table[3]))
+    emp1 = np.bincount(seqs[:, 0], minlength=V) / n
+    tol1 = 4 * np.sqrt(np.maximum(p1 * (1 - p1), 1e-12) / n)
+    assert np.all(np.abs(emp1 - p1) <= tol1 + 0.01), (
+        f"pos0 max dev {np.max(np.abs(emp1 - p1)):.4f}")
+
+    t1 = int(emp1.argmax())
+    sel = seqs[:, 0] == t1
+    p2 = np.asarray(jax.nn.softmax(table[t1]))
+    emp2 = np.bincount(seqs[sel, 1], minlength=V) / sel.sum()
+    tol2 = 4 * np.sqrt(np.maximum(p2 * (1 - p2), 1e-12) / sel.sum())
+    assert np.all(np.abs(emp2 - p2) <= tol2 + 0.02), (
+        f"pos1|{t1} max dev {np.max(np.abs(emp2 - p2)):.4f}")

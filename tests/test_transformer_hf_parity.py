@@ -169,8 +169,8 @@ def test_feature_taps_are_layer_inputs():
         if i in cfg.tap_layers:
             expected[i] = np.asarray(hj)
         lp = jax.tree.map(lambda x: x[i], params["layers"])
-        hj, _, _ = _layer(hj, lp, cfg, cache2.k[i], cache2.v[i], cos, sin, mask,
-                          cache2.length)
+        hj, _, _, _, _ = _layer(hj, lp, cfg, cache2.k[i], cache2.v[i], cos,
+                                sin, mask, cache2.length)
     lo, mid, hi = cfg.tap_layers
     np.testing.assert_allclose(taps[..., :H], expected[lo], rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(taps[..., H:2 * H], expected[mid], rtol=1e-6, atol=1e-6)
