@@ -1,0 +1,287 @@
+"""End-to-end serving benchmark: the OpenAI API server over real HTTP,
+driven by a Poisson arrival trace with mixed prompt lengths and shared
+prefixes — every serving feature composed at once (paged KV + async
+scheduling + chunked prefill + automatic prefix caching) against the 8B
+int4 target.
+
+This is the production analog of the reference's offline speed ratio
+(/root/reference/eagle/evaluation/speed.py:16-50): instead of one request
+timed in isolation, a trace of concurrent requests measures what a client
+actually sees — TTFT (time to first token, including queueing), TBT
+(time between tokens, chunk-attributed), and aggregate decode tok/s —
+plus the serving-stack counters (chunked prefills, prefix-cache hits,
+preemptions) proving each feature engaged.
+
+Token accounting rides on the 1-byte-per-token frontend tokenizer (weights
+are random — text content is irrelevant; round/step time is
+weight-value-independent), so SSE delta text lengths are exact token
+counts. Conversation chains (a follow-up request re-sending its parent's
+full exchange + new text) exercise prefix adoption exactly as multi-turn
+API clients do.
+
+Run on TPU:   python tools/bench_serving_e2e.py
+Logic check:  SERVE_TINY=1 python tools/bench_serving_e2e.py
+Writes eval_artifacts/serving_e2e.json and prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+TINY = bool(os.environ.get("SERVE_TINY"))
+if TINY:
+    jax.config.update("jax_platforms", "cpu")
+
+from eagle_tpu.application.api_server import APIFrontend, serve
+from eagle_tpu.config import DraftConfig, EngineConfig, ModelConfig, RopeConfig
+from eagle_tpu.engine.engine import EagleEngine
+from eagle_tpu.models import draft as draft_mod
+
+SEED = 0
+N_REQUESTS = int(os.environ.get("SERVE_N", "4" if TINY else "24"))
+RATE = float(os.environ.get("SERVE_RATE", "1.5"))     # Poisson req/s
+MAX_NEW = int(os.environ.get("SERVE_MAX_NEW", "12" if TINY else "64"))
+N_CHAINS = max(1, N_REQUESTS // 6)  # follow-up turns (prefix adoption)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_engine():
+    if TINY:
+        V = 256
+        cfg = ModelConfig(vocab_size=V, hidden_size=64,
+                          intermediate_size=128, num_layers=2,
+                          num_q_heads=4, num_kv_heads=4, head_dim=16,
+                          dtype=jnp.float32)
+        dcfg = DraftConfig(version=3, hidden_size=64, intermediate_size=128,
+                           num_q_heads=4, num_kv_heads=4, head_dim=16,
+                           vocab_size=V, target_hidden_size=64,
+                           dtype=jnp.float32)
+        from eagle_tpu.models import transformer
+        params = transformer.init_params(cfg, jax.random.PRNGKey(SEED))
+        dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(1))
+        ecfg = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=512)
+        return EagleEngine(params, cfg, dparams, dcfg, ecfg,
+                           eos_token_id=V - 1), cfg
+    # exact LLaMA-3.1-8B dims, int4 target + int4 draft (the single-chip
+    # serving point: tools/bench_8b_quant.py)
+    from _probe_common import device_quant_tree
+    H, L, F, NQ, NKV, D, V = 4096, 32, 14336, 32, 8, 128, 128256
+    cfg = ModelConfig(vocab_size=V, hidden_size=H, intermediate_size=F,
+                      num_layers=L, num_q_heads=NQ, num_kv_heads=NKV,
+                      head_dim=D, rope=RopeConfig(theta=500000.0),
+                      dtype=jnp.bfloat16)
+    dcfg = DraftConfig(version=3, hidden_size=H, intermediate_size=F,
+                       num_q_heads=NQ, num_kv_heads=NKV, head_dim=D,
+                       vocab_size=V, draft_vocab_size=32000,
+                       target_hidden_size=H, dtype=jnp.bfloat16)
+    t = time.time()
+    qparams = device_quant_tree(4, dims=(H, L, F, NQ, NKV, D, V), seed=SEED)
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(1))
+    dparams["embed"]["w"] = qparams["embed"]["w"]
+    log(f"[serve-e2e] int4 8B target built in {time.time()-t:.0f}s")
+    # serving tree: the measured-best B=8 point (BENCH_r04 serving_tree_b8)
+    ecfg = EngineConfig(total_tokens=31, depth=5, top_k=10, max_len=2048,
+                        kv_buckets=(512, 1024), draft_quant="int4")
+    return EagleEngine(qparams, cfg, dparams, dcfg, ecfg,
+                       eos_token_id=V - 1), cfg
+
+
+def _encode(s: str):
+    # latin-1 both ways: 1 char == 1 byte == 1 token, and decode(encode(x))
+    # round-trips for ids < 256 — conversation chains re-encode a parent's
+    # completion text back to its exact token ids (prefix-cache adoption)
+    return np.frombuffer(s.encode("latin-1", errors="replace"),
+                         dtype=np.uint8).astype(np.int32)
+
+
+def _decode(ids):
+    return bytes(int(i) % 256 for i in ids).decode("latin-1")
+
+
+def make_prompts(rng):
+    """Mixed lengths; 1/3 of the primaries share a 512-char prefix (the
+    chunked-prefill + prefix-cache mix a production front door sees)."""
+    shared = "".join(chr(rng.integers(33, 126)) for _ in range(
+        64 if TINY else 512))
+    lengths = [40, 200, 600] if not TINY else [24, 48, 96]
+    prompts = []
+    for i in range(N_REQUESTS):
+        n = int(lengths[i % len(lengths)])
+        body = "".join(chr(rng.integers(33, 126)) for _ in range(n))
+        if i % 3 == 2 and n >= len(shared) // 4:
+            prompts.append((shared + body)[: max(n, len(shared) + 16)])
+        else:
+            prompts.append(body)
+    return prompts
+
+
+class Result:
+    def __init__(self):
+        self.send_t = 0.0
+        self.first_t = None
+        self.chunks = []        # (t, n_tokens)
+        self.text = ""
+        self.error = None
+
+
+def drive_one(port: int, prompt: str, res: Result):
+    body = {"model": "eagle-tpu", "prompt": prompt, "stream": True,
+            "max_tokens": MAX_NEW, "temperature": 0.0}
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/completions",
+        data=json.dumps(body).encode(), method="POST",
+        headers={"Content-Type": "application/json"})
+    res.send_t = time.time()
+    try:
+        with urllib.request.urlopen(req, timeout=600) as r:
+            for line in r:
+                line = line.decode().strip()
+                if not line.startswith("data:"):
+                    continue
+                payload = line[5:].strip()
+                if payload == "[DONE]":
+                    break
+                delta = json.loads(payload)["choices"][0].get("text", "")
+                if delta:
+                    now = time.time()
+                    if res.first_t is None:
+                        res.first_t = now
+                    res.chunks.append((now, len(delta)))
+                    res.text += delta
+    except Exception as e:  # a failed request is a finding, not a crash
+        res.error = f"{type(e).__name__}: {e}"
+
+
+def pct(xs, q):
+    return float(np.percentile(np.asarray(xs), q)) if len(xs) else None
+
+
+def main():
+    t0 = time.time()
+    rng = np.random.default_rng(SEED)
+    eng, cfg = build_engine()
+    fe = APIFrontend(
+        eng, _encode, _decode, model_type="vicuna",
+        paged=True, max_batch=4 if TINY else 8,
+        page_size=16 if TINY else 128,
+        prefill_chunk=32 if TINY else 256,
+        async_schedule=True, prefix_cache=True)
+    httpd = serve(fe, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    log(f"[serve-e2e] server up on :{port} ({time.time()-t0:.0f}s)")
+
+    # warm the compiled programs once so the trace measures serving, not
+    # remote compiles (prompt buckets + chunk programs + round windows)
+    warm = Result()
+    drive_one(port, "w" * (48 if TINY else 640), warm)
+    assert warm.error is None, warm.error
+    log(f"[serve-e2e] warmup done ({time.time()-t0:.0f}s; "
+        f"{sum(n for _, n in warm.chunks)} tokens)")
+
+    prompts = make_prompts(rng)
+    arrivals = np.cumsum(rng.exponential(1.0 / RATE, size=len(prompts)))
+    results = [Result() for _ in prompts]
+    threads = []
+    trace_t0 = time.time()
+    for p, a, res in zip(prompts, arrivals, results):
+        delay = trace_t0 + a - time.time()
+        if delay > 0:
+            time.sleep(delay)
+        th = threading.Thread(target=drive_one, args=(port, p, res))
+        th.start()
+        threads.append(th)
+    for th in threads:
+        th.join()
+
+    # conversation chains: resend a finished exchange + new text (prefix
+    # adoption), still under whatever load remains
+    chain_results = []
+    for i in range(N_CHAINS):
+        parent, pres = prompts[i], results[i]
+        if pres.error or not pres.text:
+            continue
+        res = Result()
+        chain_results.append(res)
+        drive_one(port, parent + pres.text + " and then?", res)
+    trace_s = time.time() - trace_t0
+
+    ok = [r for r in results + chain_results if r.error is None and r.chunks]
+    errors = [r.error for r in results + chain_results if r.error]
+    ttft = [r.first_t - r.send_t for r in ok]
+    # chunk-attributed per-token times: a gap of dt carrying n tokens
+    # contributes n samples of dt/n (the scheduler emits one chunk per
+    # decode round, so this is the per-token latency a streaming client
+    # integrates over)
+    tbt = []
+    for r in ok:
+        prev = r.first_t
+        for t_c, n in r.chunks[1:]:
+            tbt.extend([(t_c - prev) / n] * n)
+            prev = t_c
+    total_tokens = sum(sum(n for _, n in r.chunks) for r in ok)
+    srv = fe._servers.get(False)  # greedy server carried the whole trace
+    counters = {
+        "chunked_prefills": getattr(srv, "chunked_prefills", 0),
+        "cancelled_prefills": getattr(srv, "cancelled_prefills", 0),
+        "preemptions": getattr(srv, "preemptions", 0),
+        "prefix_hits": getattr(getattr(srv, "store", None), "hits", 0),
+        "prefix_reused_tokens": getattr(getattr(srv, "store", None),
+                                        "reused_tokens", 0),
+        "decode_steps": fe.counters["decode_steps"],
+        "completed": fe.counters["requests_completed"],
+    }
+    out = {
+        "metric": "serving_e2e_agg_tps",
+        "value": round(total_tokens / trace_s, 1),
+        "unit": "tok/s",
+        "n_requests": len(ok),
+        "n_errors": len(errors),
+        "poisson_rate_rps": RATE,
+        "max_new_tokens": MAX_NEW,
+        "trace_s": round(trace_s, 1),
+        "completion_tokens": int(total_tokens),
+        "ttft_ms": {"p50": round(1e3 * pct(ttft, 50), 1),
+                    "p90": round(1e3 * pct(ttft, 90), 1),
+                    "p99": round(1e3 * pct(ttft, 99), 1)},
+        "tbt_ms": {"p50": round(1e3 * pct(tbt, 50), 2),
+                   "p90": round(1e3 * pct(tbt, 90), 2),
+                   "p99": round(1e3 * pct(tbt, 99), 2)},
+        "counters": counters,
+        "config": {"tiny": TINY, "max_batch": 4 if TINY else 8,
+                   "prefill_chunk": 32 if TINY else 256,
+                   "async_schedule": True, "prefix_cache": True,
+                   "target": "tiny-f32" if TINY else "8B-int4",
+                   "tree": "15/d3" if TINY else "31/d5"},
+    }
+    if errors:
+        out["errors"] = errors[:5]
+    fe.shutdown()
+    httpd.shutdown()
+    art = os.path.join(os.path.dirname(__file__), "..", "eval_artifacts",
+                       "serving_e2e.json")
+    if not TINY:
+        with open(art, "w") as f:
+            json.dump(out, f, indent=1)
+    log(f"[serve-e2e] total {time.time()-t0:.0f}s")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
