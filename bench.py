@@ -205,7 +205,12 @@ def retry_flake(fn, tries=3, wait=45):
         except Exception as e:  # jax.errors.JaxRuntimeError
             name = type(e).__name__
             transient = ("RESOURCE_EXHAUSTED" in str(e)
-                         or "FAILED_PRECONDITION" in str(e))
+                         or "FAILED_PRECONDITION" in str(e)
+                         # remote_compile HTTP 500: the tunnel's compile
+                         # helper subprocess dies under memory pressure
+                         # and recovers (r5: the kv_int8_b8 stage failed
+                         # in-run but reproduced cleanly standalone)
+                         or "remote_compile: HTTP 5" in str(e))
             if not transient or i == tries - 1:
                 raise
             log(f"[bench] transient {name}; retrying in {wait}s "

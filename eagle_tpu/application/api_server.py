@@ -605,6 +605,13 @@ def main():  # pragma: no cover - requires real checkpoints
                          "operating point; int8 ~halves and int4 "
                          "~quarters weight HBM — what fits an 8B target "
                          "on one v5e chip)")
+    ap.add_argument("--kv-quant", choices=["none", "int8"], default="none",
+                    help="int8 KV-cache storage: halves decode-round KV "
+                         "streaming and doubles paged-pool capacity (its "
+                         "own greedy==vanilla operating point)")
+    ap.add_argument("--quant-group", type=int, default=128,
+                    help="int4 scale-group size along K (512 = measured "
+                         "faster-but-coarser opt-in)")
     ap.add_argument("--port", type=int, default=8000)
     args = ap.parse_args()
 
@@ -620,13 +627,13 @@ def main():  # pragma: no cover - requires real checkpoints
         params = quantize_target_params(params)
     elif args.target_quant == "int4":
         from ..ops.quant4 import quantize_target_params4
-        params = quantize_target_params4(params)
+        params = quantize_target_params4(params, group=args.quant_group)
     # total_token=-1 means serving-batch calibration, which happens in the
     # server (EagleServer total_tokens=-1); the engine needs a concrete tree
     ecfg = EngineConfig(
         total_tokens=60 if args.total_token == -1 else args.total_token,
         depth=args.depth, top_k=args.top_k, max_len=args.max_len,
-        draft_quant=args.draft_quant)
+        draft_quant=args.draft_quant, kv_quant=args.kv_quant)
     engine = EagleEngine(params, cfg, dparams, dcfg, ecfg,
                          eos_token_id=tok.eos_token_id)
     fe = APIFrontend(

@@ -293,6 +293,11 @@ class EngineConfig:
     # ops/quant4.py). The draft only proposes; quantizing it can lower τ
     # but never changes the output distribution.
     draft_quant: str = "none"
+    # int4 scale-group size along K for the DRAFT head quantization
+    # (ops/quant4.pack_w4). 128 is the GPTQ/AWQ-standard granularity; 512
+    # trades scale resolution for fewer per-group passes in the w4a8
+    # kernel. Lossless either way (the draft only proposes).
+    draft_quant_group: int = 128
     # target KV-cache storage: "none" (model dtype) | "int8" (per-row absmax
     # int8 + fp32 scale side arrays, ops/kv_cache.py). Halves decode-round
     # KV streaming and doubles paged-pool capacity; a serving operating

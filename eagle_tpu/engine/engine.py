@@ -27,7 +27,7 @@ from ..config import DraftConfig, EngineConfig, ModelConfig
 from ..models import draft as draft_mod
 from ..models import transformer
 from ..ops.kv_cache import (KVCache, compact_accepted, init_cache,
-                            merge_rows, quantize_kv_rows, slice_rows,
+                            merge_rows_window, quantize_kv_rows, slice_rows,
                             with_length)
 from ..ops.masks import TreeMaskSpec, prefill_mask
 from ..ops.tree import Tree
@@ -85,7 +85,8 @@ class EagleEngine:
             dparams = quantize_draft_params(dparams)
         elif ecfg.draft_quant == "int4":
             from ..ops.quant4 import quantize_draft_params4
-            dparams = quantize_draft_params4(dparams)
+            dparams = quantize_draft_params4(dparams,
+                                             group=ecfg.draft_quant_group)
         elif ecfg.draft_quant != "none":
             # a typo here would silently benchmark/serve the bf16 draft
             # while reporting a quantized operating point
@@ -136,6 +137,8 @@ class EagleEngine:
                         dtype=jnp.bfloat16,
                         target_quant: Optional[str] = None,
                         draft_quant: Optional[str] = None,
+                        kv_quant: Optional[str] = None,
+                        quant_group: int = 128,
                         mesh=None) -> "EagleEngine":
         """Load target + draft checkpoints and build an engine — the
         ea_model.py:89-170 `EaModel.from_pretrained` analog (total_tokens=-1
@@ -146,8 +149,15 @@ class EagleEngine:
         bit-exact vs the quantized target's own vanilla decode; the int4
         path runs the stacked Pallas w4a8 kernel on TPU). draft_quant:
         same choices for the draft head — LOSSLESS (acceptance only
-        commits target-verified tokens). When `mesh` is given, target
-        params are tensor-parallel sharded and the draft head replicated
+        commits target-verified tokens). kv_quant: None | "int8" — int8
+        KV cache storage (EngineConfig.kv_quant; halves decode-round KV
+        streaming, its own greedy==vanilla operating point).
+        quant_group: int4 scale-group size along K (default 128, the
+        GPTQ/AWQ-standard point; 512 is the measured faster-but-coarser
+        opt-in — fewer per-group scale passes in the w4a8 kernel, ~8%
+        quicker matmuls per the ops/quant4.py ablation, at coarser
+        quantization granularity). When `mesh` is given, target params
+        are tensor-parallel sharded and the draft head replicated
         (parallel/sharding.py layout; quantized trees use the matching
         quantized spec functions)."""
         from ..models.hf_loader import load_draft, load_target
@@ -166,14 +176,17 @@ class EagleEngine:
             params = quantize_target_params(params)
         elif target_quant == "int4":
             from ..ops.quant4 import quantize_target_params4
-            params = quantize_target_params4(params, tp=tp)
+            params = quantize_target_params4(params, group=quant_group,
+                                             tp=tp)
         if total_tokens == -1:
-            total_tokens = calibrate_total_tokens(params, cfg,
-                                                  max_len=max_len)
+            total_tokens = calibrate_total_tokens(
+                params, cfg, max_len=max_len,
+                kv_quant=kv_quant or "none")
         ecfg = EngineConfig(total_tokens=total_tokens, depth=depth,
                             top_k=top_k, max_len=max_len,
                             temperature=temperature,
-                            draft_quant=draft_quant or "none")
+                            draft_quant=draft_quant or "none",
+                            kv_quant=kv_quant or "none")
         if mesh is not None:
             from ..parallel import sharding as shd
             specs = (shd.quantized_target_param_specs(cfg)
@@ -441,7 +454,15 @@ class EagleEngine:
             small = state._replace(cache=slice_rows(state.cache, kv_limit))
             new_small, out = self._round(params, dparams, small,
                                          batched=batched, ref=ref)
-            merged = merge_rows(state.cache, new_small.cache, kv_limit)
+            # a round only modifies rows [Lc, Lc + tree_size + tail): the
+            # verify writes the tree there, compaction rearranges within
+            # it (+ the Pallas staging margin) — write back just that
+            # window, not the whole bucket (profiled at ~0.15 ms/step of
+            # pure copies at bucket 256; the capacity stop guarantees the
+            # window fits below every bucket boundary)
+            merged = merge_rows_window(state.cache, new_small.cache,
+                                       state.cache.length,
+                                       self.ecfg.tree_size + self._tail)
             return new_small._replace(cache=merged), out
         e, tree = self.ecfg, state.tree
         S = state.cache.max_len
@@ -998,7 +1019,10 @@ class EagleEngine:
             new_small, nxt, key = self._vanilla_step(params, small, token,
                                                      key,
                                                      temperature=temperature)
-            return merge_rows(cache, new_small, kv_limit), nxt, key
+            # a vanilla step appends exactly ONE row at `length` — write
+            # back that row, not the whole bucket (see _round)
+            merged = merge_rows_window(cache, new_small, cache.length, 1)
+            return merged, nxt, key
         S = cache.max_len
         pos = cache.length[0][None, None]
         mask = prefill_mask(1, S, cache.length)

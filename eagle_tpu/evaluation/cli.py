@@ -67,6 +67,9 @@ def main(argv=None):
                          "operating point: outputs are bit-exact vs the "
                          "quantized target's own vanilla decode, not the "
                          "bf16 target's")
+    ap.add_argument("--kv-quant", choices=["none", "int8"], default="none",
+                    help="int8 KV-cache storage (its own greedy==vanilla "
+                         "operating point; halves decode KV streaming)")
     args = ap.parse_args(argv)
 
     from transformers import AutoTokenizer
@@ -128,7 +131,8 @@ def main(argv=None):
     ecfg = EngineConfig(total_tokens=args.total_token, depth=args.depth,
                         top_k=args.top_k, max_len=args.max_len,
                         temperature=args.temperature,
-                        draft_quant=args.draft_quant)
+                        draft_quant=args.draft_quant,
+                        kv_quant=args.kv_quant)
     engine = EagleEngine(params, cfg, dparams, dcfg, ecfg,
                          eos_token_id=eos_id)
 

@@ -99,8 +99,15 @@ def attention(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
 
 
 def _mlp_dense(h: jnp.ndarray, lp: dict) -> jnp.ndarray:
-    gate = _dense(h, lp["w_gate"])
-    up = _dense(h, lp["w_up"])
+    if "w_gateup" in lp:
+        # fused single-call gate|up (quantize_target_params4 fuse=True):
+        # bit-identical per column, one activation-quant pass instead of 2
+        gu = _dense(h, lp["w_gateup"])
+        F = gu.shape[-1] // 2
+        gate, up = gu[..., :F], gu[..., F:]
+    else:
+        gate = _dense(h, lp["w_gate"])
+        up = _dense(h, lp["w_up"])
     return _dense(jax.nn.silu(gate) * up, lp["w_down"])
 
 
@@ -254,9 +261,19 @@ def _layer(h: jnp.ndarray, lp: dict, cfg: ModelConfig,
     """
     B, T, _ = h.shape
     x = rms_norm(h, lp["ln1"], cfg.rms_eps)
-    q = _dense(x, lp["wq"], lp.get("bq")).reshape(B, T, cfg.num_q_heads, cfg.head_dim)
-    k = _dense(x, lp["wk"], lp.get("bk")).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
-    v = _dense(x, lp["wv"], lp.get("bv")).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    if "wqkv" in lp:
+        # fused single-call q|k|v (quantize_target_params4 fuse=True)
+        qkv = _dense(x, lp["wqkv"], lp.get("bqkv"))
+        q = qkv[..., : cfg.q_dim]
+        k = qkv[..., cfg.q_dim: cfg.q_dim + cfg.kv_dim]
+        v = qkv[..., cfg.q_dim + cfg.kv_dim:]
+        q = q.reshape(B, T, cfg.num_q_heads, cfg.head_dim)
+        k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    else:
+        q = _dense(x, lp["wq"], lp.get("bq")).reshape(B, T, cfg.num_q_heads, cfg.head_dim)
+        k = _dense(x, lp["wk"], lp.get("bk")).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+        v = _dense(x, lp["wv"], lp.get("bv")).reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     if cfg.qk_norm:  # Qwen3 per-head q/k RMSNorm (modeling_qwen3_kv.py:249-250)
         q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_eps)

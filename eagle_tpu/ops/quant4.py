@@ -816,7 +816,7 @@ _ROW_PARALLEL_KEYS = ("wo", "w_down")
 
 
 def quantize_target_params4(params: dict, group: int = GROUP,
-                            tp: int = 1) -> dict:
+                            tp: int = 1, fuse: bool = False) -> dict:
     """Weight-only int4 for a TARGET tree (stacked [L, K, N] layers +
     lm_head), on the host. Serving operating point: outputs match the int4
     target's own vanilla decode bit-for-bit, not the bf16 target's —
@@ -838,10 +838,35 @@ def quantize_target_params4(params: dict, group: int = GROUP,
     same stacked Pallas kernel as the dense layers. The N/K expert folds
     are expert-contiguous, so EP sharding splits on expert boundaries
     when E divides the mesh. Capacity dispatch keeps bf16/int8 banks
-    (prefill/training mode — raise if combined with int4)."""
+    (prefill/training mode — raise if combined with int4).
+
+    fuse=True (tp==1 only): concatenate wq|wk|wv → one "wqkv" weight and
+    w_gate|w_up → one "w_gateup" BEFORE packing — 7 kernel calls per
+    layer become 4, and the per-call XLA glue the kernel cannot absorb
+    (activation amax/round/clip quantization + rowsum precompute over the
+    same x) runs once per input instead of per projection. Per-column
+    kernel math is independent and K-group order unchanged, so fused
+    outputs are BIT-IDENTICAL to unfused (tests/test_quant4.py). Not
+    combined with TP: equal-N column shards of a concatenated qkv would
+    split mid-projection."""
+    if fuse and tp != 1:
+        raise ValueError("fuse=True is a single-chip (tp=1) layout")
     out = dict(params)
     layers = dict(params["layers"])
-    for k in _QUANT_KEYS:
+    if fuse and "wq" in layers and not isinstance(layers["wq"], dict):
+        wq, wk, wv = (layers.pop(k) for k in ("wq", "wk", "wv"))
+        layers["wqkv"] = np.concatenate(
+            [np.asarray(wq), np.asarray(wk), np.asarray(wv)], axis=-1)
+        if "bq" in layers:
+            layers["bqkv"] = np.concatenate(
+                [np.asarray(layers.pop(k)) for k in ("bq", "bk", "bv")],
+                axis=-1)
+    if fuse and "w_gate" in layers and not isinstance(layers["w_gate"],
+                                                      dict):
+        layers["w_gateup"] = np.concatenate(
+            [np.asarray(layers.pop("w_gate")),
+             np.asarray(layers.pop("w_up"))], axis=-1)
+    for k in _QUANT_KEYS + ("wqkv", "w_gateup"):
         if k in layers and not isinstance(layers[k], dict):
             blocks = tp if k in _ROW_PARALLEL_KEYS else 1
             layers[k] = _pack_w4_host(layers[k], group, blocks=blocks)

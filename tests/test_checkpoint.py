@@ -180,8 +180,13 @@ def test_from_pretrained_quantized(tmp_path, tq):
     eng = EagleEngine.from_pretrained(str(base), str(draft_dir),
                                       total_tokens=15, depth=3, top_k=4,
                                       max_len=256, dtype=jnp.float32,
-                                      target_quant=tq, draft_quant="int8")
+                                      target_quant=tq, draft_quant="int8",
+                                      kv_quant="int8",
+                                      quant_group=16 if tq == "int4"
+                                      else 128)
     assert isinstance(eng.params["lm_head"], dict)
+    assert eng.ecfg.kv_quant == "int8"
+    assert eng.init_target_cache().k.dtype == jnp.int8
     ref = eng.generate_vanilla(PROMPT, max_new_tokens=20)
     out = eng.generate(PROMPT, max_new_tokens=20)
     np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])

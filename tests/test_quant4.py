@@ -4,6 +4,7 @@ must still produce bit-exact greedy output; an int4 TARGET must be
 bit-exact against its own vanilla decode (same contracts as int8,
 tests/test_quant.py)."""
 
+import os
 import numpy as np
 import pytest
 
@@ -380,3 +381,51 @@ def test_int4_moe_target_ep_sharded():
         out_v = eng.generate_vanilla(PROMPT, max_new_tokens=16)
         out = eng.generate(PROMPT, max_new_tokens=16)
     np.testing.assert_array_equal(out[: len(out_v)], out_v[: len(out)])
+
+
+def test_fused_qkv_gateup_bit_identical():
+    """quantize_target_params4(fuse=True): one wqkv + one w_gateup kernel
+    call per layer (7 -> 4 calls, one activation-quant pass per input).
+    Per-column kernel math is independent and K-group order unchanged, so
+    fused logits must be BIT-identical to unfused — and fuse composes with
+    the greedy==vanilla invariant."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_engine_greedy import tiny_cfg, tiny_dcfg, PROMPT
+    from eagle_tpu.config import EngineConfig
+    from eagle_tpu.engine.engine import EagleEngine
+    from eagle_tpu.models import draft as draft_mod, transformer
+    from eagle_tpu.ops.kv_cache import init_cache
+    from eagle_tpu.ops.masks import prefill_mask
+    from eagle_tpu.ops.quant4 import quantize_target_params4
+
+    cfg = tiny_cfg()
+    params = transformer.init_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jnp.float32)
+    q_unf = quantize_target_params4(params, group=16)
+    q_fus = quantize_target_params4(params, group=16, fuse=True)
+    assert "wqkv" in q_fus["layers"] and "w_gateup" in q_fus["layers"]
+
+    tok = jnp.asarray(np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (1, 8)), jnp.int32)
+    pos = jnp.arange(8, dtype=jnp.int32)[None]
+
+    def run(p):
+        c = init_cache(cfg.num_layers, 1, cfg.num_kv_heads, 64,
+                       cfg.head_dim, dtype=jnp.float32)
+        res = transformer.forward(p, cfg, tok, c, pos,
+                                  prefill_mask(8, 64, c.length))
+        return np.asarray(transformer.lm_head(p, cfg, res.hidden))
+
+    np.testing.assert_array_equal(run(q_unf), run(q_fus))
+
+    dcfg = tiny_dcfg(3)
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(1))
+    ecfg = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256)
+    eng = EagleEngine(q_fus, cfg, dparams, dcfg, ecfg)
+    ref = eng.generate_vanilla(PROMPT, max_new_tokens=24)
+    out = eng.generate(PROMPT, max_new_tokens=24)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+
+    with pytest.raises(ValueError):
+        quantize_target_params4(params, group=16, fuse=True, tp=2)
