@@ -42,7 +42,8 @@ def _rand_cfgs(seed):
     ecfg = EngineConfig(total_tokens=total, depth=depth, top_k=k,
                         max_len=192,
                         draft_quant=str(rng.choice(["none", "int8",
-                                                    "int4"])))
+                                                    "int4"])),
+                        kv_quant=str(rng.choice(["none", "int8"])))
     return cfg, dcfg, ecfg
 
 

@@ -187,13 +187,33 @@ def main():
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     log(f"[serve-e2e] server up on :{port} ({time.time()-t0:.0f}s)")
 
-    # warm the compiled programs once so the trace measures serving, not
-    # remote compiles (prompt buckets + chunk programs + round windows)
-    warm = Result()
-    drive_one(port, "w" * (48 if TINY else 640), warm)
-    assert warm.error is None, warm.error
+    # Warm EVERY compiled program class the trace will hit (prompt buckets,
+    # chunk programs, gather-window sizes, prefix-adoption (npre, Te)
+    # variants) with a content-disjoint mini-trace — same length classes +
+    # one conversation chain, different random bytes, so nothing prefix-
+    # matches the measured trace. Without this, first-touch remote
+    # compiles (~30 s each through the tunnel) land inside TTFT: the first
+    # r5 run measured TTFT p50 = 27 s of pure compilation.
+    wrng = np.random.default_rng(SEED + 1)
+    warm_prompts = make_prompts(wrng)
+    seen = set()
+    picks = []
+    for p in warm_prompts:
+        key = len(p)
+        if key not in seen:
+            seen.add(key)
+            picks.append(p)
+    for p in picks:
+        w = Result()
+        drive_one(port, p, w)
+        assert w.error is None, w.error
+        if w.text:  # chain per length class: the prefix-adoption programs
+            # are keyed (npre, Te) and npre depends on the parent's context
+            wc = Result()
+            drive_one(port, p + w.text + " and then?", wc)
+            assert wc.error is None, wc.error
     log(f"[serve-e2e] warmup done ({time.time()-t0:.0f}s; "
-        f"{sum(n for _, n in warm.chunks)} tokens)")
+        f"{len(picks)} length classes + 1 chain)")
 
     prompts = make_prompts(rng)
     arrivals = np.cumsum(rng.exponential(1.0 / RATE, size=len(prompts)))
