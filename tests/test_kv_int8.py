@@ -167,3 +167,69 @@ def test_quantize_kv_rows_roundtrip_accuracy():
 def test_kv_quant_typo_rejected():
     with pytest.raises(ValueError):
         make_engine(3, kv_quant="int-8")
+
+
+def test_merge_rows_window_matches_full_merge():
+    """merge_rows_window == merge_rows restricted to the modified window,
+    for B==1 (direct 5-D path) and B>1 (vmap fallback), bf16 and int8."""
+    from eagle_tpu.ops.kv_cache import (init_cache, merge_rows,
+                                        merge_rows_window, slice_rows)
+
+    rng = np.random.default_rng(0)
+    for Bsz in (1, 3):
+        for kvq in ("none", "int8"):
+            full = init_cache(2, Bsz, 2, 32, 8, dtype=jnp.float32,
+                              kv_quant=kvq)
+            small = slice_rows(full, 16)
+            # fabricate an updated small cache: new rows at per-seq starts
+            starts = jnp.asarray(rng.integers(0, 10, Bsz), jnp.int32)
+            newk = jnp.asarray(rng.normal(size=small.k.shape),
+                               jnp.float32).astype(small.k.dtype)
+            newv = jnp.asarray(rng.normal(size=small.v.shape),
+                               jnp.float32).astype(small.v.dtype)
+            upd = small._replace(k=newk, v=newv,
+                                 length=starts + 4)
+            if kvq == "int8":
+                upd = upd._replace(
+                    ks=jnp.asarray(rng.normal(size=small.ks.shape),
+                                   jnp.float32),
+                    vs=jnp.asarray(rng.normal(size=small.vs.shape),
+                                   jnp.float32))
+            out = merge_rows_window(full, upd, starts, 4)
+            # reference: full merge, then restrict expectations to windows
+            ref = merge_rows(full, upd, 16)
+            for b in range(Bsz):
+                s = int(starts[b])
+                np.testing.assert_array_equal(
+                    np.asarray(out.k[:, b, :, s:s + 4]),
+                    np.asarray(ref.k[:, b, :, s:s + 4]))
+                # rows OUTSIDE the window must be untouched (zeros)
+                np.testing.assert_array_equal(
+                    np.asarray(out.k[:, b, :, :s]),
+                    np.asarray(full.k[:, b, :, :s]))
+                if kvq == "int8":
+                    np.testing.assert_array_equal(
+                        np.asarray(out.ks[:, b, :, s:s + 4]),
+                        np.asarray(ref.ks[:, b, :, s:s + 4]))
+            np.testing.assert_array_equal(np.asarray(out.length),
+                                          np.asarray(upd.length))
+
+
+def test_sampled_dynamic_runs_sharded():
+    """true_q_dynamic two-pass drafting under the 8-way TP mesh: the
+    sampled program (Gumbel draws, node_probs threading, true-q walk)
+    compiles and commits tokens with sharded target params."""
+    cfg = tp_cfg()
+    dcfg = tiny_dcfg(3)
+    params = transformer.init_params(cfg, jax.random.PRNGKey(1))
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(2))
+    ecfg = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256,
+                        temperature=0.9, acceptance="true_q_dynamic")
+    mesh = shd.make_mesh(n_data=1, n_model=8)
+    eng = EagleEngine(
+        shd.shard_params(params, mesh, shd.target_param_specs(cfg)),
+        cfg, shd.replicate(dparams, mesh), dcfg, ecfg)
+    with jax.set_mesh(mesh):
+        out = eng.generate(np.asarray([5, 17, 92, 3], np.int32),
+                           max_new_tokens=12)
+    assert len(out) >= 16
