@@ -91,3 +91,19 @@ def test_static_tree_true_q_per_request_temperature():
     h2 = eng.generate(PROMPT, max_new_tokens=20, seed=4, temperature=6.0)
     assert not np.array_equal(h1, h2)
     assert eng._round_jit._cache_size() == 1
+
+
+def test_dynamic_sampled_batched_and_per_request_temperature():
+    """true_q_dynamic: batched-fused generation runs (vmapped two-pass
+    drafting + true-q walks), per-request temperatures ride as traced
+    data (one compiled program), and seeds reproduce."""
+    eng = make_engine(3, temperature=0.9, acceptance="true_q_dynamic")
+    outs = eng.generate_batch_fused([PROMPT, PROMPT[:4]], max_new_tokens=10,
+                                    seed=2)
+    assert len(outs) == 2 and all(len(o) > 4 for o in outs)
+    a = eng.generate(PROMPT, max_new_tokens=12, seed=7, temperature=0.7)
+    b = eng.generate(PROMPT, max_new_tokens=12, seed=7, temperature=0.7)
+    np.testing.assert_array_equal(a, b)  # same seed reproduces
+    c = eng.generate(PROMPT, max_new_tokens=12, seed=7, temperature=5.0)
+    assert not np.array_equal(a, c)      # temperature actually plumbs
+    assert eng._round_jit._cache_size() == 1
