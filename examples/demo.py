@@ -112,6 +112,16 @@ def main():
     print("   match ✓  speculative == the int8 target's own vanilla decode "
           "(a different model than bf16, internally bit-exact)")
 
+    print("\n== int8 KV cache (halves decode KV streaming)")
+    ecfg_kv = EngineConfig(total_tokens=23, depth=4, top_k=5, max_len=512,
+                           kv_quant="int8")
+    eng_kv = EagleEngine(params, cfg, dparams, dcfg, ecfg_kv)
+    ref_kv = eng_kv.generate_vanilla(prompt, max_new_tokens=30)
+    out_kv = eng_kv.generate(prompt, max_new_tokens=30)
+    assert np.array_equal(out_kv[: len(ref_kv)], ref_kv[: len(out_kv)])
+    print("   match ✓  speculative == the int8-KV engine's own vanilla "
+          "decode (KV rows stored int8 + per-row scales)")
+
     print("\n== sampled generation (temperature 0.8, lossless)")
     ecfg_s = EngineConfig(total_tokens=23, depth=4, top_k=5, max_len=512,
                           temperature=0.8)
@@ -119,6 +129,14 @@ def main():
     for seed in (1, 2):
         o = eng_s.generate(prompt, max_new_tokens=12, seed=seed)
         print(f"   seed {seed}: {o[len(prompt):]}")
+
+    print("\n== sampled candidates + true-q acceptance on DYNAMIC trees")
+    ecfg_tq = EngineConfig(total_tokens=23, depth=4, top_k=5, max_len=512,
+                           temperature=0.8, acceptance="true_q_dynamic")
+    eng_tq = EagleEngine(params, cfg, dparams, dcfg, ecfg_tq)
+    o, ntq, rtq = eng_tq.generate(prompt, max_new_tokens=16, log=True)
+    print(f"   two-pass drafting (shape from the deterministic beam, "
+          f"candidates drawn without replacement): τ = {ntq / rtq:.2f}")
 
     print("\n== batched generation (one dispatch, per-sequence finish)")
     outs = eng.generate_batch_fused([corpus[0, :6], corpus[1, :4]],
