@@ -233,3 +233,23 @@ def test_sampled_dynamic_runs_sharded():
         out = eng.generate(np.asarray([5, 17, 92, 3], np.int32),
                            max_new_tokens=12)
     assert len(out) >= 16
+
+
+def test_pallas_tree_attn_falls_back_under_int8_kv():
+    """attn_impl="pallas_tree" + kv_quant="int8": the Pallas tree kernel
+    reads raw bf16 KV, so int8 caches must take the XLA scale-folded path
+    — and stay bit-exact vs vanilla."""
+    import dataclasses
+
+    from eagle_tpu.models import draft as draft_mod
+
+    cfg = dataclasses.replace(tiny_cfg(), attn_impl="pallas_tree")
+    dcfg = tiny_dcfg(3)
+    params = transformer.init_params(cfg, jax.random.PRNGKey(0))
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(1))
+    ecfg = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256,
+                        kv_quant="int8")
+    eng = EagleEngine(params, cfg, dparams, dcfg, ecfg)
+    ref = eng.generate_vanilla(PROMPT, max_new_tokens=20)
+    out = eng.generate(PROMPT, max_new_tokens=20)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
