@@ -111,3 +111,27 @@ def test_fused_sampled_generation_runs():
     assert ntok >= 24 and rounds >= 1
     out2 = eng.generate_fused(PROMPT, max_new_tokens=24, seed=4)
     assert not np.array_equal(out, out2)
+
+
+def test_true_q_dynamic_reduced_draft_vocab():
+    """true_q_dynamic with a reduced draft vocab (d2t/t2d): candidate
+    draws map through d2t and node_probs scatter to TARGET-vocab ids
+    (the accept walk indexes them by target token)."""
+    eng = make_engine(3, draft_vocab=64, temperature=0.9,
+                      acceptance="true_q_dynamic")
+    out, st = eng.generate(PROMPT, max_new_tokens=16, details=True)
+    assert st["rounds"] >= 1 and len(out) > len(PROMPT)
+    # the tree carries target-vocab-sized sampled distributions
+    import jax.numpy as jnp
+    cache, dcache = eng.init_caches()
+    padded = np.zeros((1, 128), np.int32)
+    padded[0, : len(PROMPT)] = PROMPT
+    state = jax.jit(eng._prefill)(
+        eng.params, eng.dparams, jnp.asarray(padded),
+        jnp.int32(len(PROMPT)), cache, dcache, jax.random.PRNGKey(0),
+        jnp.float32(0.9))
+    assert state.tree.node_probs.shape[-1] == eng.cfg.vocab_size
+    probs0 = np.asarray(state.tree.node_probs[0])
+    np.testing.assert_allclose(probs0.sum(), 1.0, atol=1e-4)
+    # mass lives only on d2t-mapped target ids (64 of 128)
+    assert (probs0 > 0).sum() <= 64

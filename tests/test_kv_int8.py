@@ -253,3 +253,24 @@ def test_pallas_tree_attn_falls_back_under_int8_kv():
     ref = eng.generate_vanilla(PROMPT, max_new_tokens=20)
     out = eng.generate(PROMPT, max_new_tokens=20)
     np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+
+
+def test_sliding_window_int8_kv():
+    """qwen2-style sliding-window target + int8 KV: the per-layer window
+    mask composes with scale-folded attention reads; greedy == vanilla."""
+    import dataclasses
+
+    from eagle_tpu.models import draft as draft_mod
+
+    cfg = dataclasses.replace(tiny_cfg(), sliding_window=24,
+                              sliding_layer_flags=(True, True, False, True),
+                              attn_qkv_bias=True)
+    dcfg = tiny_dcfg(3)
+    params = transformer.init_params(cfg, jax.random.PRNGKey(5))
+    dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(6))
+    ecfg = EngineConfig(total_tokens=15, depth=3, top_k=4, max_len=256,
+                        kv_quant="int8")
+    eng = EagleEngine(params, cfg, dparams, dcfg, ecfg)
+    ref = eng.generate_vanilla(PROMPT, max_new_tokens=40)
+    out = eng.generate(PROMPT, max_new_tokens=40)
+    np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
