@@ -266,6 +266,11 @@ def main():  # pragma: no cover - requires real checkpoints
     ap.add_argument("--depth", type=int, default=5)
     ap.add_argument("--top-k", type=int, default=10)
     ap.add_argument("--max-len", type=int, default=2048)
+    ap.add_argument("--draft-quant", choices=["none", "int8", "int4"],
+                    default="none")
+    ap.add_argument("--target-quant", choices=["none", "int8", "int4"],
+                    default="none")
+    ap.add_argument("--kv-quant", choices=["none", "int8"], default="none")
     ap.add_argument("--port", type=int, default=7860)
     args = ap.parse_args()
 
@@ -276,8 +281,16 @@ def main():  # pragma: no cover - requires real checkpoints
     dparams, dcfg = load_draft(args.ea_model_path,
                                version=3 if args.use_eagle3 else 1,
                                target_embed=params["embed"]["w"])
+    if args.target_quant == "int8":
+        from ..ops.quant import quantize_target_params
+        params = quantize_target_params(params)
+    elif args.target_quant == "int4":
+        from ..ops.quant4 import quantize_target_params4
+        params = quantize_target_params4(params)
     ecfg = EngineConfig(total_tokens=args.total_token, depth=args.depth,
-                        top_k=args.top_k, max_len=args.max_len)
+                        top_k=args.top_k, max_len=args.max_len,
+                        draft_quant=args.draft_quant,
+                        kv_quant=args.kv_quant)
     engine = EagleEngine(params, cfg, dparams, dcfg, ecfg)
     backend = ChatBackend(
         engine,
