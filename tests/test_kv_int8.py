@@ -274,3 +274,36 @@ def test_sliding_window_int8_kv():
     ref = eng.generate_vanilla(PROMPT, max_new_tokens=40)
     out = eng.generate(PROMPT, max_new_tokens=40)
     np.testing.assert_array_equal(out[: len(ref)], ref[: len(out)])
+
+
+def test_paged_int8_full_stack_soak():
+    """Composition soak: int8 KV + async scheduling + chunked prefill +
+    prefix cache + a pool small enough to force preemption, with
+    staggered joins — every output bit-equal to the single-request
+    engine. The int8 analog of the bf16 serving-stack tests, all features
+    at once."""
+    rng = np.random.default_rng(3)
+    eng = make_engine(3, kv_quant="int8")
+    prompts = [
+        rng.integers(1, 127, n).astype(np.int32)
+        for n in (150, 6, 40, 90, 12, 60)
+    ]
+    # two requests share a long prefix (prefix-cache candidates)
+    prompts[3] = np.concatenate([prompts[0][:96],
+                                 rng.integers(1, 127, 8).astype(np.int32)])
+    budgets = [12, 20, 9, 14, 11, 10]
+    singles = [eng.generate(p, max_new_tokens=b)
+               for p, b in zip(prompts, budgets)]
+
+    srv = PagedEagleServer(eng, max_batch=2, page_size=16, num_pages=40,
+                           prefill_chunk=32, prefix_cache=True,
+                           async_schedule=True)
+    rids = []
+    for i, (p, b) in enumerate(zip(prompts, budgets)):
+        rids.append(srv.submit(p, b))
+        for _ in range(int(rng.integers(0, 3))):
+            srv.step()
+    outs = srv.run()
+    for rid, ref in zip(rids, singles):
+        np.testing.assert_array_equal(outs[rid], ref)
+    assert srv.chunked_prefills >= 1
