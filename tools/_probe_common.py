@@ -113,6 +113,36 @@ def device_quant_tree(bits: int, dims=None, seed=0, group=128):
     return params
 
 
+def device_fused_quant_tree4(dims=None, seed=0, group=512):
+    """device_quant_tree(bits=4) with the quantize_target_params4
+    fuse=True leaf layout (one wqkv + one w_gateup call per layer) —
+    the measured-best single-chip int4 serving layout
+    (tools/probe_fuse_target.py: −6.4% vanilla step, −5.4% round at 4B
+    with group=512)."""
+    h, l, f, nq, nkv, d, v = dims or (H, L, F, NQ, NKV, D, V)
+    params = device_quant_tree(4, dims=dims, seed=seed, group=group)
+    layers = dict(params["layers"])
+    key = jax.random.PRNGKey(seed + 77)
+
+    def q4(*shape):
+        K, N = shape[-2], shape[-1]
+        q = jax.random.randint(key, shape[:-2] + (K // 8, N),
+                               -2**31, 2**31 - 1, jnp.int32)
+        scale = jnp.full(shape[:-2] + (K // group, N), 0.02 / 4.3,
+                         jnp.float32)
+        return {"q4": q, "scale": scale}
+
+    for k in ("wq", "wk", "wv"):
+        layers.pop(k)
+    layers["wqkv"] = q4(l, h, (nq + 2 * nkv) * d)
+    for k in ("w_gate", "w_up"):
+        layers.pop(k)
+    layers["w_gateup"] = q4(l, h, 2 * f)
+    params["layers"] = layers
+    jax.block_until_ready(params)
+    return params
+
+
 def device_int8_params_4b(seed=0):
     return device_quant_tree(8, seed=seed)
 

@@ -79,8 +79,9 @@ def build_engine():
         return EagleEngine(params, cfg, dparams, dcfg, ecfg,
                            eos_token_id=V - 1), cfg
     # exact LLaMA-3.1-8B dims, int4 target + int4 draft (the single-chip
-    # serving point: tools/bench_8b_quant.py)
-    from _probe_common import device_quant_tree
+    # serving point: tools/bench_8b_quant.py) in the measured-best fused
+    # + group-512 layout (tools/probe_fuse_target.py)
+    from _probe_common import device_fused_quant_tree4
     H, L, F, NQ, NKV, D, V = 4096, 32, 14336, 32, 8, 128, 128256
     cfg = ModelConfig(vocab_size=V, hidden_size=H, intermediate_size=F,
                       num_layers=L, num_q_heads=NQ, num_kv_heads=NKV,
@@ -91,13 +92,15 @@ def build_engine():
                        vocab_size=V, draft_vocab_size=32000,
                        target_hidden_size=H, dtype=jnp.bfloat16)
     t = time.time()
-    qparams = device_quant_tree(4, dims=(H, L, F, NQ, NKV, D, V), seed=SEED)
+    qparams = device_fused_quant_tree4(dims=(H, L, F, NQ, NKV, D, V),
+                                       seed=SEED, group=512)
     dparams = draft_mod.init_params(dcfg, jax.random.PRNGKey(1))
     dparams["embed"]["w"] = qparams["embed"]["w"]
     log(f"[serve-e2e] int4 8B target built in {time.time()-t:.0f}s")
     # serving tree: the measured-best B=8 point (BENCH_r04 serving_tree_b8)
     ecfg = EngineConfig(total_tokens=31, depth=5, top_k=10, max_len=2048,
-                        kv_buckets=(512, 1024), draft_quant="int4")
+                        kv_buckets=(512, 1024), draft_quant="int4",
+                        draft_quant_group=512)
     return EagleEngine(qparams, cfg, dparams, dcfg, ecfg,
                        eos_token_id=V - 1), cfg
 

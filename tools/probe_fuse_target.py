@@ -48,30 +48,11 @@ LO, HI = 32, 480  # wide slope: relative noise ~3x lower than 16->112
 
 def fused_quant_tree(group=128, fuse=True, seed=0):
     """device_quant_tree with the fuse=True leaf layout."""
-    from _probe_common import device_quant_tree
-    params = device_quant_tree(4, dims=(H, L, F, NQ, NKV, D, V), seed=seed,
-                               group=group)
+    from _probe_common import device_fused_quant_tree4, device_quant_tree
+    dims = (H, L, F, NQ, NKV, D, V)
     if not fuse:
-        return params
-    layers = dict(params["layers"])
-    key = jax.random.PRNGKey(seed + 77)
-
-    def q4(*shape):
-        K, N = shape[-2], shape[-1]
-        q = jax.random.randint(key, shape[:-2] + (K // 8, N),
-                               -2**31, 2**31 - 1, jnp.int32)
-        scale = jnp.full(shape[:-2] + (K // group, N), 0.02 / 4.3,
-                         jnp.float32)
-        return {"q4": q, "scale": scale}
-
-    for k in ("wq", "wk", "wv"):
-        layers.pop(k)
-    layers["wqkv"] = q4(L, H, (NQ + 2 * NKV) * D)
-    for k in ("w_gate", "w_up"):
-        layers.pop(k)
-    layers["w_gateup"] = q4(L, H, 2 * F)
-    params["layers"] = layers
-    return params
+        return device_quant_tree(4, dims=dims, seed=seed, group=group)
+    return device_fused_quant_tree4(dims=dims, seed=seed, group=group)
 
 
 def main():
