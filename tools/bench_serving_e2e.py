@@ -105,16 +105,25 @@ def build_engine():
                        eos_token_id=V - 1), cfg
 
 
+# Reversible 1-char-per-token codec over the FULL vocab: completion ids are
+# decoded to code points offset into U+E000.. (skips the UTF-8-unencodable
+# surrogate block D800-DFFF; 0xE000+128256 is still far below 0x10FFFF), so
+# a conversation chain that re-sends its parent's completion text re-encodes
+# to the EXACT cached token ids — the condition prefix-cache adoption needs.
+# (The previous mod-256 byte codec silently broke every chain hit: sampled
+# ids are almost never <256, so the re-encoded prompt never matched the
+# cached context tokens.) ASCII prompt chars still map to their small ids
+# directly; len(text) == token count either way (len counts code points).
+_OFF = 0xE000
+
+
 def _encode(s: str):
-    # latin-1 both ways: 1 char == 1 byte == 1 token, and decode(encode(x))
-    # round-trips for ids < 256 — conversation chains re-encode a parent's
-    # completion text back to its exact token ids (prefix-cache adoption)
-    return np.frombuffer(s.encode("latin-1", errors="replace"),
-                         dtype=np.uint8).astype(np.int32)
+    return np.asarray([ord(c) - _OFF if ord(c) >= _OFF else ord(c) % 256
+                       for c in s], np.int32)
 
 
 def _decode(ids):
-    return bytes(int(i) % 256 for i in ids).decode("latin-1")
+    return "".join(chr(_OFF + int(i)) for i in ids)
 
 
 def make_prompts(rng):
