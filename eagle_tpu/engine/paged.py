@@ -230,19 +230,19 @@ class PagedEagleServer(EagleServer):
             got = self.allocator.alloc(n)
         return got
 
-    def _suffix_fits(self, req: _Request, entry: PrefixEntry) -> bool:
+    def _suffix_fits(self, req: _Request, rows: int) -> bool:
         """Adoption may preempt chunked prefill only when the un-cached
         suffix (boundary row + delta) is at most one chunk — a longer
         suffix would run as one giant unchunked adoption prefill, the
         exact join spike chunking exists to prevent."""
         return self.C is None or \
-            len(req.prompt) - (entry.rows - 1) <= self.C
+            len(req.prompt) - (rows - 1) <= self.C
 
     def _place(self, req: _Request, g: int, slot_idx: int) -> bool:
         if self.store is not None:
-            entry = self.store.lookup(req.prompt)
-            if entry is not None and self._suffix_fits(req, entry) and \
-                    self._place_prefix(req, g, slot_idx, entry):
+            hit = self.store.lookup(req.prompt)
+            if hit is not None and self._suffix_fits(req, hit[1]) and \
+                    self._place_prefix(req, g, slot_idx, *hit):
                 return True
         if self.C is not None and len(req.prompt) > self.C:
             return False  # long prompts go through the chunker (one at a
@@ -473,7 +473,7 @@ class PagedEagleServer(EagleServer):
             hit = (self.store.lookup(req.prompt)
                    if self.store is not None else None)
             if len(req.prompt) > self.C and (
-                    hit is None or not self._suffix_fits(req, hit)):
+                    hit is None or not self._suffix_fits(req, hit[1])):
                 self._start_job(req)
                 self.queue.popleft()
         super()._admit()
@@ -559,11 +559,12 @@ class PagedEagleServer(EagleServer):
         return jax.jit(fn, donate_argnums=(5,))
 
     def _place_prefix(self, req: _Request, g: int, slot_idx: int,
-                      entry: PrefixEntry) -> bool:
-        """Admit `req` by adopting a cached prefix. Returns False when it
-        doesn't fit (caller falls back to the full prefill)."""
+                      entry: PrefixEntry, R: int) -> bool:
+        """Admit `req` by adopting the first R rows of a cached prefix
+        (R ≤ entry.rows — page-granular matches adopt only the shared
+        pages). Returns False when it doesn't fit (caller falls back to
+        the full prefill)."""
         eng, P = self.engine, self.P
-        R = entry.rows
         npre = R // P
         m = len(req.prompt) - (R - 1)      # boundary row + appended tokens
         Te = eng._bucket(m)
@@ -587,7 +588,13 @@ class PagedEagleServer(EagleServer):
         if fn is None:
             fn = self._make_prefix_prefill(npre, Te)
             self._prefill_px[(npre, Te)] = fn
-        chain = entry.all_pages()
+        # page-granular match: take only the shared first `npre` pages.
+        # entry.dk/dv may cover MORE rows than R — the adoption prefill
+        # writes them into a fresh draft cache whose length is R-1, so the
+        # extra rows sit beyond `length` and are overwritten by the draft
+        # round before any read (same argument as the recomputed boundary
+        # row); jit re-specializes on the slab shape.
+        chain = entry.all_pages()[:npre]
         pages = chain + suffix
         bt_row = np.zeros((self.pages_per_slot,), np.int32)
         bt_row[:len(pages)] = pages
@@ -627,7 +634,11 @@ class PagedEagleServer(EagleServer):
             self._dslab_jit[R] = fn
         dc = self._states[g].dcache
         dk, dv = fn(dc.k, dc.v, jnp.int32(slot_idx))
-        e = self.store.insert(ctx[:R], pages[borrowed:npre_f], entry, dk, dv)
+        # parent_take = the slot's adoption depth: a page-granular adopter
+        # extends its parent at `borrowed` pages, not at the parent's full
+        # coverage — all_pages() must splice the chain there
+        e = self.store.insert(ctx[:R], pages[borrowed:npre_f], entry, dk, dv,
+                              parent_take=borrowed)
         if e is None:
             return own  # this exact prefix is already cached
         return pages[npre_f:]  # store took ownership of [borrowed, npre_f)

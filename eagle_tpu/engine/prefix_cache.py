@@ -41,55 +41,74 @@ def _digest(tokens: np.ndarray) -> bytes:
 
 
 class PrefixEntry:
-    __slots__ = ("rows", "tokens", "pages_own", "parent", "dk", "dv",
-                 "borrowers", "dead", "last_used")
+    __slots__ = ("rows", "tokens", "pages_own", "parent", "parent_take",
+                 "dk", "dv", "borrowers", "dead", "last_used")
 
     def __init__(self, rows: int, tokens: np.ndarray, pages_own: List[int],
-                 parent: Optional["PrefixEntry"], dk, dv, stamp: int):
+                 parent: Optional["PrefixEntry"], parent_take: int,
+                 dk, dv, stamp: int):
         self.rows = rows            # R: logical rows covered (page multiple)
         self.tokens = tokens        # the R prefix tokens (collision guard)
-        self.pages_own = pages_own  # pages beyond the parent's coverage
+        self.pages_own = pages_own  # pages beyond the adopted coverage
         self.parent = parent
+        # pages borrowed from the parent chain. Usually the parent's full
+        # coverage, but a PARTIAL adoption (page-granular match at an
+        # interior boundary) that later donates a deeper prefix extends the
+        # parent at that shallower point — all_pages must splice there, not
+        # at the parent's full depth.
+        self.parent_take = parent_take
         self.dk, self.dv = dk, dv   # draft KV rows [0, R) (device)
         self.borrowers = 0          # live adopters + child entries
         self.dead = False
         self.last_used = stamp
 
     def all_pages(self) -> List[int]:
-        chain = self.parent.all_pages() if self.parent is not None else []
-        return chain + self.pages_own
+        if self.parent is None:
+            return list(self.pages_own)
+        return self.parent.all_pages()[: self.parent_take] + self.pages_own
 
 
 class PrefixStore:
-    """Host-side prefix → entry map with LRU eviction. Page frees go
-    through `release_pages` (the server's allocator)."""
+    """Host-side prefix → (entry, rows) map with LRU eviction. Page frees
+    go through `release_pages` (the server's allocator).
+
+    Matching is PAGE-GRANULAR (vLLM block-hash style): every page boundary
+    an entry covers is indexed, so a request sharing only the first k pages
+    of a cached 5-page prefix still adopts those k pages — whole-entry
+    matching would miss every shared-system-prompt workload whose requests
+    diverge before the donor's full context."""
 
     def __init__(self, page_size: int, release_pages,
                  max_entries: int = 32):
         self.P = page_size
         self.release_pages = release_pages
         self.max_entries = max_entries
-        self._by_hash: Dict[bytes, PrefixEntry] = {}
+        # digest(tokens[:R]) → (owning entry, R); one slot per page
+        # boundary, owned by the shallowest live entry covering it
+        self._by_hash: Dict[bytes, tuple] = {}
         self._clock = 0
         self.hits = 0
         self.reused_tokens = 0
 
     def __len__(self):
-        return len(self._by_hash)
+        """Distinct live entries (not boundary slots)."""
+        return len({id(e) for e, _ in self._by_hash.values() if not e.dead})
 
     def _tick(self) -> int:
         self._clock += 1
         return self._clock
 
-    def lookup(self, prompt: np.ndarray) -> Optional[PrefixEntry]:
-        """Deepest live entry whose prefix the prompt starts with."""
+    def lookup(self, prompt: np.ndarray) -> Optional[tuple]:
+        """Deepest page-boundary match: returns (entry, R) where the
+        prompt's first R tokens equal rows [0, R) of `entry` (R ≤
+        entry.rows), or None."""
         for npre in range(len(prompt) // self.P, 0, -1):
             R = npre * self.P
-            e = self._by_hash.get(_digest(prompt[:R]))
-            if e is not None and not e.dead and \
-                    np.array_equal(e.tokens, prompt[:R]):
-                e.last_used = self._tick()
-                return e
+            v = self._by_hash.get(_digest(prompt[:R]))
+            if v is not None and not v[0].dead and \
+                    np.array_equal(v[0].tokens[:R], prompt[:R]):
+                v[0].last_used = self._tick()
+                return v
         return None
 
     def acquire(self, entry: PrefixEntry):
@@ -102,21 +121,36 @@ class PrefixStore:
             self._free(entry)
 
     def insert(self, tokens: np.ndarray, pages_own: List[int],
-               parent: Optional[PrefixEntry], dk, dv
-               ) -> Optional[PrefixEntry]:
+               parent: Optional[PrefixEntry], dk, dv,
+               parent_take: Optional[int] = None) -> Optional[PrefixEntry]:
         """Register a prefix of len(tokens) rows (page multiple). Returns
-        the entry, or None if this exact prefix is already cached (caller
+        the entry, or None if this prefix depth is already cached (caller
         keeps ownership of pages_own). Takes ownership of pages_own and a
-        borrower hold on `parent`."""
+        borrower hold on `parent`. `parent_take`: pages borrowed from the
+        parent chain (defaults to the parent's full coverage — pass the
+        adoption depth for entries donated by partial adopters)."""
         h = _digest(tokens)
-        if h in self._by_hash and not self._by_hash[h].dead:
+        cur = self._by_hash.get(h)
+        if cur is not None and not cur[0].dead:
             return None
+        take = 0
+        if parent is not None:
+            take = parent.rows // self.P if parent_take is None \
+                else parent_take
         e = PrefixEntry(len(tokens), np.asarray(tokens, np.int32).copy(),
-                        list(pages_own), parent, dk, dv, self._tick())
+                        list(pages_own), parent, take, dk, dv, self._tick())
         if parent is not None:
             self.acquire(parent)
-        self._by_hash[h] = e
-        if len(self._by_hash) > self.max_entries:
+        # index every NEW page boundary this entry covers (boundaries
+        # ≤ take·P stay owned by the parent chain's registrations); a live
+        # deeper entry already registered at a boundary keeps it
+        npre = len(tokens) // self.P
+        for i in range(take + 1, npre + 1):
+            bh = h if i == npre else _digest(tokens[: i * self.P])
+            cur = self._by_hash.get(bh)
+            if cur is None or cur[0].dead:
+                self._by_hash[bh] = (e, i * self.P)
+        if len(self) > self.max_entries:
             self.evict(1)
         return e
 
@@ -145,14 +179,14 @@ class PrefixStore:
         held by the chain."""
         freed = 0
         while freed < want_pages:
-            cands = [e for e in self._by_hash.values()
-                     if not e.dead and e.borrowers == 0]
+            cands = {id(e): e for e, _ in self._by_hash.values()
+                     if not e.dead and e.borrowers == 0}
             if not cands:
                 break
-            e = min(cands, key=lambda c: c.last_used)
+            e = min(cands.values(), key=lambda c: c.last_used)
             e.dead = True
             freed += len(e.pages_own)
             self._free(e)
-        self._by_hash = {h: e for h, e in self._by_hash.items()
-                         if not e.dead}
+        self._by_hash = {h: v for h, v in self._by_hash.items()
+                         if not v[0].dead}
         return freed

@@ -26,16 +26,22 @@ def test_store_lookup_insert_evict():
     e2 = st.insert(toks[:12], [5], e1, "dk2", "dv2")
     assert e2.parent is e1 and e1.borrowers == 1
     # deepest match wins; diverging token kills the match
-    assert st.lookup(toks) is e2
-    assert st.lookup(toks[:11]) is e1
+    assert st.lookup(toks) == (e2, 12)
+    assert st.lookup(toks[:11]) == (e1, 8)
+    # page-granular: a prompt sharing only the first page still matches
+    assert st.lookup(toks[:7]) == (e1, 4)
     other = toks.copy()
     other[2] = 77
     assert st.lookup(other) is None
+    # ...even when it diverges inside the entry's deeper coverage
+    mid = toks[:12].copy()
+    mid[9] = 77
+    assert st.lookup(mid) == (e1, 8)
     # a small request stops after the LRU child: e1 still holds a child
     # borrower when e2 is picked, and freeing e2's one page satisfies it
     assert st.evict(1) == 1
     assert sorted(freed) == [5]
-    assert len(st) == 1 and st.lookup(toks[:8]) is e1
+    assert len(st) == 1 and st.lookup(toks[:8]) == (e1, 8)
     # a large request cascades within one pass: freeing e2 dropped e1's
     # borrower hold, so e1 must become evictable in the SAME call —
     # otherwise pool-pressure callers abort with reclaimable pages stranded
@@ -61,6 +67,38 @@ def test_prefix_adoption_bit_exact():
     assert srv.store.reused_tokens > 0
     np.testing.assert_array_equal(srv.finished[ra], singles[0])
     np.testing.assert_array_equal(outs[rb], singles[1])
+
+
+def test_prefix_partial_adoption_bit_exact():
+    """Page-granular matching: the donor's cached prefix is DEEPER than
+    the shared stem (it includes the donor's own continuation + generated
+    tokens), so whole-entry matching would miss; the adopter shares only
+    the first 3 of the donor's 5 pages and must adopt exactly those,
+    bit-exact vs single-request generation."""
+    eng = make_engine(1)
+    donor = np.concatenate([SYS, (np.arange(20, dtype=np.int32) % 80) + 5])
+    adopter = np.concatenate([SYS, np.array([71, 72, 73, 74, 75], np.int32)])
+    singles = [eng.generate(p, max_new_tokens=12) for p in (donor, adopter)]
+    srv = PagedEagleServer(eng, max_batch=2, page_size=16)
+    rd = srv.submit(donor, 12)
+    srv.run()
+    entries = {id(e): e for e, _ in srv.store._by_hash.values()}
+    assert len(entries) == 1
+    entry = next(iter(entries.values()))
+    assert entry.rows > len(SYS)        # donated depth exceeds the stem
+    ra = srv.submit(adopter, 12)
+    outs = srv.run()
+    assert srv.store.hits == 1
+    assert srv.store.reused_tokens == len(SYS) - 1   # 3 pages, boundary row
+    np.testing.assert_array_equal(srv.finished[rd], singles[0])
+    np.testing.assert_array_equal(outs[ra], singles[1])
+    # the adopter's own finish donates a chain entry spliced at 3 pages —
+    # a third request extending the adopter's context adopts the chain
+    p3 = np.concatenate([srv.finished[ra], np.array([9], np.int32)])
+    r3 = srv.submit(p3, 10)
+    out3 = srv.run()[r3]
+    assert srv.store.hits == 2
+    np.testing.assert_array_equal(out3, eng.generate(p3, max_new_tokens=10))
 
 
 def test_prefix_chain_multiturn_bit_exact():

@@ -224,8 +224,18 @@ def main():
             wc = Result()
             drive_one(port, p + w.text + " and then?", wc)
             assert wc.error is None, wc.error
+    # partial-adoption program class: a SECOND shared-prefix prompt (same
+    # warm stem, different tail) page-granular-adopts the first one's
+    # interior pages — the (npre, Te) this compiles is exactly what the
+    # trace's shared-prefix primaries hit (length classes are fixed, so m
+    # and the bucket match)
+    shared2 = [p for i, p in enumerate(warm_prompts) if i % 3 == 2]
+    if len(shared2) >= 2:
+        w = Result()
+        drive_one(port, shared2[1], w)
+        assert w.error is None, w.error
     log(f"[serve-e2e] warmup done ({time.time()-t0:.0f}s; "
-        f"{len(picks)} length classes + 1 chain)")
+        f"{len(picks)} length classes + 1 chain + shared-prefix)")
 
     prompts = make_prompts(rng)
     arrivals = np.cumsum(rng.exponential(1.0 / RATE, size=len(prompts)))
