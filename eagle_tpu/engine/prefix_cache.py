@@ -189,4 +189,18 @@ class PrefixStore:
             self._free(e)
         self._by_hash = {h: v for h, v in self._by_hash.items()
                          if not v[0].dead}
+        # re-register boundaries orphaned by the dead entries: a deeper
+        # live entry's interior boundaries were masked by a (now dead)
+        # shallower owner and must become matchable again. Registering a
+        # boundary ≤ parent_take·P to a child is also correct — all_pages
+        # splices the parent chain, whose pages a child borrower keeps
+        # alive even when the parent entry is dead.
+        live = sorted({id(v[0]): v[0] for v in self._by_hash.values()
+                       }.values(), key=lambda e: e.rows)
+        for e in live:
+            for i in range(1, e.rows // self.P + 1):
+                bh = _digest(e.tokens[: i * self.P])
+                cur = self._by_hash.get(bh)
+                if cur is None or cur[0].dead:
+                    self._by_hash[bh] = (e, i * self.P)
         return freed

@@ -52,6 +52,24 @@ def test_store_lookup_insert_evict():
     assert len(st) == 0
 
 
+def test_store_boundary_reregistration_after_evict():
+    """Evicting a shallow entry must not orphan a deeper live entry's
+    interior boundaries — the rows are still cached under the deeper
+    entry, so its boundaries are re-registered and stay matchable."""
+    freed = []
+    st = PrefixStore(4, freed.extend, max_entries=8)
+    toks = np.arange(16, dtype=np.int32)
+    e1 = st.insert(toks[:8], [1, 2], None, "dk1", "dv1")
+    e3 = st.insert(toks, [5, 6, 7, 8], None, "dk3", "dv3")
+    # e1 owns boundaries R=4,8; e3 registered only R=12,16
+    assert st.lookup(toks[:8]) == (e1, 8)
+    assert st.lookup(toks) == (e3, 16)      # e3 now more recently used
+    assert st.evict(2) == 2                 # e1 is LRU and borrower-less
+    assert sorted(freed) == [1, 2]
+    assert st.lookup(toks[:8]) == (e3, 8)   # re-registered to e3
+    assert st.lookup(toks[:5]) == (e3, 4)
+
+
 def test_prefix_adoption_bit_exact():
     """Second request sharing a 48-token stem adopts the first's pages;
     outputs match single-request generation exactly."""
