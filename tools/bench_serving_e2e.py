@@ -51,6 +51,9 @@ from eagle_tpu.engine.engine import EagleEngine
 from eagle_tpu.models import draft as draft_mod
 
 SEED = 0
+# SERVE_KV=int8 runs the whole trace on the quantized KV cache (its own
+# operating point; artifact lands in serving_e2e_kv8.json)
+KV_QUANT = os.environ.get("SERVE_KV", "none")
 N_REQUESTS = int(os.environ.get("SERVE_N", "4" if TINY else "24"))
 RATE = float(os.environ.get("SERVE_RATE", "1.5"))     # Poisson req/s
 MAX_NEW = int(os.environ.get("SERVE_MAX_NEW", "12" if TINY else "64"))
@@ -100,7 +103,7 @@ def build_engine():
     # serving tree: the measured-best B=8 point (BENCH_r04 serving_tree_b8)
     ecfg = EngineConfig(total_tokens=31, depth=5, top_k=10, max_len=2048,
                         kv_buckets=(512, 1024), draft_quant="int4",
-                        draft_quant_group=512)
+                        draft_quant_group=512, kv_quant=KV_QUANT)
     return EagleEngine(qparams, cfg, dparams, dcfg, ecfg,
                        eos_token_id=V - 1), cfg
 
@@ -310,14 +313,17 @@ def main():
                    "prefill_chunk": 32 if TINY else 256,
                    "async_schedule": True, "prefix_cache": True,
                    "target": "tiny-f32" if TINY else "8B-int4",
+                   "kv_quant": KV_QUANT,
                    "tree": "15/d3" if TINY else "31/d5"},
     }
     if errors:
         out["errors"] = errors[:5]
     fe.shutdown()
     httpd.shutdown()
-    art = os.path.join(os.path.dirname(__file__), "..", "eval_artifacts",
-                       "serving_e2e.json")
+    art = os.path.join(
+        os.path.dirname(__file__), "..", "eval_artifacts",
+        "serving_e2e.json" if KV_QUANT == "none" else
+        f"serving_e2e_kv{KV_QUANT.replace('int', '')}.json")
     if not TINY:
         with open(art, "w") as f:
             json.dump(out, f, indent=1)
